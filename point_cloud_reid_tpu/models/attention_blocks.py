@@ -1,0 +1,250 @@
+"""Attention blocks of the ReID models, flax linen, channel-last (B, N, C).
+
+Mirrors the reference block zoo behaviorally:
+  SelfAttentionBlock    <- Self_Attention        (pointnet2_utils.py:55-114)
+  CrossAttentionBlock   <- corss_attention [sic] (attention.py:157-219)
+  LocalSelfAttention    <- local_self_attention  (attention.py:221-296)
+  CrossLinAttn          <- cross_lin_attn        (attention.py:312-370)
+  FPSA                  <- FP_SA                 (pointnet2_utils.py:362-437)
+
+All use the shared linear-attention primitive (ops/attention.py). Parameter names
+track the reference state-dict keys so the torch checkpoint converter
+(train/convert.py) is a pure name-map.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops import knn_feature_space, index_points
+from ..ops.attention import full_attention, linear_attention
+from .layers import PosMLP
+
+
+def _split_heads(x: jnp.ndarray, nhead: int) -> jnp.ndarray:
+    B, N, C = x.shape
+    return x.reshape(B, N, nhead, C // nhead)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    B, N, H, D = x.shape
+    return x.reshape(B, N, H * D)
+
+
+class SelfAttentionBlock(nn.Module):
+    """Positional self-attention + FFN with residual.
+
+    forward(feat (B,N,C), xyz (B,N,3)) -> (B,N,C):
+      feat_pos = feat + pos_mlp(xyz); q,k,v all from feat_pos;
+      msg = LN(merge(linattn(q,k,v))); msg = LN(FFN([feat || msg])); out = feat + msg.
+    """
+
+    d_model: int
+    nhead: int
+    attention: str = "linear"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, xyz: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        d = self.d_model
+        feat_pos = feat + PosMLP(d, dtype=self.dtype, name="pos_mlp")(xyz)
+
+        q = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                  name="q_proj")(feat_pos), self.nhead)
+        k = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                  name="k_proj")(feat_pos), self.nhead)
+        v = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                  name="v_proj")(feat_pos), self.nhead)
+
+        attn = linear_attention if self.attention == "linear" else full_attention
+        msg = _merge_heads(attn(q, k, v, q_mask=mask, kv_mask=mask))
+        msg = nn.Dense(d, use_bias=False, dtype=self.dtype, name="merge")(msg)
+        msg = nn.LayerNorm(dtype=self.dtype, name="norm1")(msg)
+
+        h = jnp.concatenate([feat, msg], axis=-1)
+        h = nn.Dense(2 * d, use_bias=False, dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.relu(h)
+        h = nn.Dense(d, use_bias=False, dtype=self.dtype, name="mlp_fc2")(h)
+        msg = nn.LayerNorm(dtype=self.dtype, name="norm2")(h)
+
+        return feat + msg
+
+
+class CrossAttentionBlock(nn.Module):
+    """Cross-attention where the positional encoding enters through the TEMPLATE
+    values only (the reference's deliberate asymmetry, attention.py:203-209).
+
+    forward(search_feat (B,Ns,C), search_xyz, template_feat (B,Nt,C), template_xyz).
+    """
+
+    d_model: int
+    nhead: int
+    attention: str = "linear"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, search_feat, search_xyz, template_feat, template_xyz,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        d = self.d_model
+        template_pos = template_feat + PosMLP(d, dtype=self.dtype,
+                                              name="pos_mlp")(template_xyz)
+
+        q = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                  name="q_proj")(search_feat), self.nhead)
+        k = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                  name="k_proj")(template_feat), self.nhead)
+        v = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                  name="v_proj")(template_pos), self.nhead)
+
+        attn = linear_attention if self.attention == "linear" else full_attention
+        msg = _merge_heads(attn(q, k, v))
+        msg = nn.Dense(d, use_bias=False, dtype=self.dtype, name="merge")(msg)
+        msg = nn.LayerNorm(dtype=self.dtype, name="norm1")(msg)
+
+        h = jnp.concatenate([search_feat, msg], axis=-1)
+        h = nn.Dense(2 * d, use_bias=False, dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.relu(h)
+        h = nn.Dense(d, use_bias=False, dtype=self.dtype, name="mlp_fc2")(h)
+        msg = nn.LayerNorm(dtype=self.dtype, name="norm2")(h)
+
+        return search_feat + msg
+
+
+class CrossLinAttn(nn.Module):
+    """No-xyz cross-attention block for image token sequences
+    (attention.py:312-370; the pos_mlp exists in the reference's parameters but is
+    unused in its forward — we omit it and the converter drops those weights)."""
+
+    d_model: int
+    nhead: int
+    attention: str = "linear"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, search_feat, template_feat,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        d = self.d_model
+        q = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                  name="q_proj")(search_feat), self.nhead)
+        k = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                  name="k_proj")(template_feat), self.nhead)
+        v = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                  name="v_proj")(template_feat), self.nhead)
+
+        attn = linear_attention if self.attention == "linear" else full_attention
+        msg = _merge_heads(attn(q, k, v))
+        msg = nn.Dense(d, use_bias=False, dtype=self.dtype, name="merge")(msg)
+        msg = nn.LayerNorm(dtype=self.dtype, name="norm1")(msg)
+
+        h = jnp.concatenate([search_feat, msg], axis=-1)
+        h = nn.Dense(2 * d, use_bias=False, dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.relu(h)
+        h = nn.Dense(d, use_bias=False, dtype=self.dtype, name="mlp_fc2")(h)
+        msg = nn.LayerNorm(dtype=self.dtype, name="norm2")(h)
+
+        return search_feat + msg
+
+
+class LocalSelfAttention(nn.Module):
+    """kNN-in-feature-space local attention (used only by the 'xcorr' match type).
+
+    Each point attends over its k feature-space neighbors; the (B*N, 1+K) problem is
+    expressed as a batched linear attention with L=1 queries (attention.py:221-296).
+    """
+
+    d_model: int
+    nhead: int
+    knum: int = 32
+    pos_size: int = 16
+    attention: str = "linear"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, search_feat: jnp.ndarray, search_xyz: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        B, N, C = search_feat.shape
+        k = self.knum
+
+        # NOTE: pos_size < d_model relies on broadcasting in the reference;
+        # we project pos to d_model-compatible size by matching the reference:
+        # pos_mlp_knn outputs pos_size and is ADDED to features, so pos_size must
+        # equal d_model in working configs; we enforce it here.
+        pos_dim = self.pos_size if self.pos_size == self.d_model else self.d_model
+
+        kidx = knn_feature_space(jnp.swapaxes(search_feat, -1, -2), k)   # (B,N,k)
+        fea_knn = index_points(search_feat, kidx)                        # (B,N,k,C)
+        xyz_knn = index_points(search_xyz, kidx)                         # (B,N,k,3)
+
+        pos = PosMLP(pos_dim, dtype=self.dtype, name="pos_mlp_knn")
+        center = search_feat + pos(search_xyz)                           # (B,N,C)
+        neigh = fea_knn + pos(xyz_knn)                                   # (B,N,k,C)
+
+        q = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                     name="q_proj_knn")(center).reshape(B * N, 1, self.nhead, -1)
+        kk = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                      name="k_proj_knn")(neigh).reshape(B * N, k, self.nhead, -1)
+        vv = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                      name="v_proj_knn")(neigh).reshape(B * N, k, self.nhead, -1)
+
+        attn = linear_attention if self.attention == "linear" else full_attention
+        msg = attn(q, kk, vv).reshape(B * N, 1, self.d_model)
+        msg = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                       name="merge_knn")(msg)
+        msg = nn.LayerNorm(dtype=self.dtype, name="norm1_knn")(msg)
+
+        center_flat = search_feat.reshape(B * N, 1, C)
+        h = jnp.concatenate([center_flat, msg], axis=-1)
+        h = nn.Dense(2 * self.d_model, use_bias=False, dtype=self.dtype,
+                     name="mlp_knn_fc1")(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                     name="mlp_knn_fc2")(h)
+        msg = nn.LayerNorm(dtype=self.dtype, name="norm2_knn")(h)
+
+        return (center_flat + msg).reshape(B, N, self.d_model)
+
+
+class FPSA(nn.Module):
+    """Attention-based feature propagation (coarse -> fine upsampling).
+
+    query from fine features (no pos), key from coarse features (no pos), value from
+    coarse features + pos_mlp2(coarse xyz); output has no residual and is projected
+    to out_dim (pointnet2_utils.py:362-437).
+    """
+
+    feat1_dim: int
+    feat2_dim: int
+    d_model: int
+    out_dim: int
+    nhead: int = 2
+    attention: str = "linear"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat1, xyz1, feat2, xyz2,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        d = self.d_model
+        feat2_pos = feat2 + PosMLP(d, d_out=self.feat2_dim, dtype=self.dtype,
+                                   name="pos_mlp2")(xyz2)
+
+        q = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                  name="q_proj")(feat1), self.nhead)
+        k = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                  name="k_proj")(feat2), self.nhead)
+        v = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                  name="v_proj")(feat2_pos), self.nhead)
+
+        attn = linear_attention if self.attention == "linear" else full_attention
+        msg = _merge_heads(attn(q, k, v))
+        msg = nn.Dense(d, use_bias=False, dtype=self.dtype, name="merge")(msg)
+        msg = nn.LayerNorm(dtype=self.dtype, name="norm1")(msg)
+
+        h = jnp.concatenate([feat1, msg], axis=-1)
+        h = nn.Dense(2 * d, use_bias=False, dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                     name="mlp_fc2")(h)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(h)

@@ -1,0 +1,138 @@
+"""The "point-transformer" backbone: PointNet++ SSG with linear self-attention.
+
+Behavioral rebuild of Pointnet_Backbone (mmdet3d/models/backbone_net.py:25-124) and
+its SA/FP modules (pointnet2_utils.py:309-473):
+
+  3x SetAbstractionEdgeSA  — RANDOM (first-n) center sampling, kNN grouping, edge
+     features [dxyz || center || df], Conv-BN-ReLU MLP x3 over groups, max over k,
+     then a linear self-attention block.
+  3x FeaturePropagationSA  — attention-based upsampling from coarse to fine.
+  Final pointwise conv -> (B, N, 3), (B, N, conv_out).
+
+Widths: sa = (32, 64, 128) * mul; npoints and nsample come from config
+(backbone_list=[128,64,32], nsample=[32,48,48] in released configs).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops import sample_and_group_edge, sample_and_group_all
+from .attention_blocks import FPSA, SelfAttentionBlock
+from .layers import ConvBNReLU
+
+
+class SetAbstractionEdgeSA(nn.Module):
+    """One SA stage: sample+group edge features -> shared MLP -> max over k -> SA."""
+
+    mlp: Sequence[int]          # [in, h1, h2, h3]; in gets +3 when use_xyz
+    nsample: int
+    radius: float = 0.5
+    sampling: str = "RANDOM"
+    use_xyz: bool = True
+    use_knn: bool = True
+    group_all: bool = False
+    knn_method: str = "argsort"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz: jnp.ndarray, points: Optional[jnp.ndarray],
+                 numpoints: int, train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """xyz: (B, N, 3); points: (B, N, D) or None -> (B, S, 3), (B, S, C_out)."""
+        if self.group_all:
+            new_xyz, new_points = sample_and_group_all(xyz, points)
+        else:
+            new_xyz, new_points = sample_and_group_edge(
+                nsample=self.nsample, xyz=xyz, points=points, numpoints=numpoints,
+                sampling=self.sampling, radius=self.radius, use_knn=self.use_knn,
+                knn_method=self.knn_method,
+            )
+        # (B, S, K, Cin) -> shared Conv-BN-ReLU MLP over the channel dim
+        h = new_points
+        for i, f in enumerate(self.mlp[1:]):
+            h = ConvBNReLU(f, dtype=self.dtype, name=f"mlp_{i}")(h, train=train)
+        h = jnp.max(h, axis=2)                                   # max over k
+        h = SelfAttentionBlock(self.mlp[-1], nhead=2, dtype=self.dtype,
+                               name="self_attention")(h, new_xyz)
+        return new_xyz, h
+
+
+class FeaturePropagationSA(nn.Module):
+    """FP stage — pure attention interpolation (the conv list in the reference
+    PointNetFeaturePropagationSA is constructed but unused in forward,
+    pointnet2_utils.py:460-473; we keep only the live FP_SA path)."""
+
+    feat1_dim: int
+    feat2_dim: int
+    d_model: int
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz1, xyz2, points1, points2) -> jnp.ndarray:
+        return FPSA(feat1_dim=self.feat1_dim, feat2_dim=self.feat2_dim,
+                    d_model=self.d_model, out_dim=self.out_dim, nhead=2,
+                    dtype=self.dtype, name="interpolation")(
+                        points1, xyz1, points2, xyz2)
+
+
+class PointTransformerBackbone(nn.Module):
+    """Full backbone. forward(pts (B, N, 3), numpoints=[n1,n2,n3]) ->
+    (xyz (B,N,3), feats (B,N,conv_out))."""
+
+    input_channels: int = 0
+    use_xyz: bool = True
+    conv_out: int = 32
+    mul: int = 1
+    radius: Sequence[float] = (0.3, 0.5, 0.7)
+    nsample: Sequence[int] = (32, 48, 48)
+    knn_method: str = "argsort"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pointcloud: jnp.ndarray, numpoints: Sequence[int],
+                 train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        sa1, sa2, sa3 = 32 * self.mul, 64 * self.mul, 128 * self.mul
+        xyz = pointcloud[..., :3]
+        features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
+
+        # ---- SA encoder -------------------------------------------------------
+        sa_specs = [
+            dict(mlp=[self.input_channels + 3, sa1, sa1, sa1], nsample=self.nsample[0],
+                 radius=self.radius[0]),
+            dict(mlp=[sa2 + 3, sa2, sa2, sa2], nsample=self.nsample[1],
+                 radius=self.radius[1]),
+            dict(mlp=[sa3 + 3, sa3, sa3, sa3], nsample=self.nsample[2],
+                 radius=self.radius[2]),
+        ]
+        l_xyz, l_feats = [xyz], [features]
+        for i, spec in enumerate(sa_specs):
+            li_xyz, li_feats = SetAbstractionEdgeSA(
+                mlp=spec["mlp"], nsample=spec["nsample"], radius=spec["radius"],
+                sampling="RANDOM", use_xyz=self.use_xyz, use_knn=True,
+                knn_method=self.knn_method, dtype=self.dtype, name=f"sa_{i}",
+            )(l_xyz[i], l_feats[i], numpoints[i], train=train)
+            l_xyz.append(li_xyz)
+            l_feats.append(li_feats)
+
+        # ---- FP decoder (attention upsampling), coarse -> fine ----------------
+        # reference widths (backbone_net.py:84-86 mlp_inte args):
+        #   FP[2]: feat1=sa2,  feat2=sa3, d=sa2, out=sa3
+        #   FP[1]: feat1=sa1,  feat2=sa3, d=sa2, out=sa2    (feat2 is FP[2] output)
+        #   FP[0]: feat1=3,    feat2=sa2, d=sa2, out=sa1    (feat2 is FP[1] output)
+        fp_specs = [
+            dict(feat1_dim=3, feat2_dim=sa2, d_model=sa2, out_dim=sa1),
+            dict(feat1_dim=sa1, feat2_dim=sa3, d_model=sa2, out_dim=sa2),
+            dict(feat1_dim=sa2, feat2_dim=sa3, d_model=sa2, out_dim=sa3),
+        ]
+        fps = [FeaturePropagationSA(dtype=self.dtype, name=f"fp_{i}", **spec)
+               for i, spec in enumerate(fp_specs)]
+
+        l_feats[0] = xyz
+        for i in (2, 1, 0):
+            l_feats[i] = fps[i](l_xyz[i], l_xyz[i + 1], l_feats[i], l_feats[i + 1])
+
+        out = nn.Dense(self.conv_out, dtype=self.dtype, name="cov_final")(l_feats[0])
+        return l_xyz[0], out

@@ -1,0 +1,61 @@
+"""Point-cloud op library: pure-JAX reference implementations + Pallas TPU kernels.
+
+Capability map to the reference's 12 native extensions (SURVEY.md §2.7):
+  furthest_point_sample -> geometry.farthest_point_sample(_with_dist) [+ pallas.fps]
+  knn                   -> geometry.knn_indices / knn_feature_space   [+ pallas.knn]
+  ball_query            -> geometry.query_ball_point
+  group_points          -> geometry.group_points / index_points
+  gather_points         -> geometry.index_points
+  interpolate           -> geometry.three_nn / three_interpolate / interpolate_idw
+  voxel                 -> voxel.voxelize_hard / dynamic_scatter_mean
+  bev_pool              -> voxel.bev_pool
+  iou3d                 -> boxes.boxes_iou_bev / boxes_iou_3d / nms_bev
+  roiaware_pool3d       -> boxes.points_in_rboxes
+  norm (SyncBN)         -> models.layers.BatchNorm runs global batch stats under SPMD jit
+  spconv / paconv       -> out of active-path scope (documented non-goals, see SURVEY §2.7)
+"""
+from .attention import elu_feature_map, full_attention, linear_attention
+from .boxes import (
+    box_corners_3d,
+    box_corners_bev,
+    boxes_iou_3d,
+    boxes_iou_bev,
+    boxes_overlap_bev,
+    nms_bev,
+    points_in_rboxes,
+    points_to_box_frame,
+    rotation_2d,
+)
+from .geometry import (
+    chamfer_distance,
+    farthest_point_sample,
+    farthest_point_sample_with_dist,
+    get_graph_feature,
+    group_points,
+    index_points,
+    interpolate_idw,
+    knn_feature_space,
+    knn_indices,
+    query_ball_point,
+    random_point_sample,
+    sample_and_group_all,
+    sample_and_group_edge,
+    square_distance,
+    subsample_pc,
+    three_interpolate,
+    three_nn,
+)
+from .voxel import bev_pool, dynamic_scatter_mean, voxelize_hard
+
+__all__ = [
+    "elu_feature_map", "full_attention", "linear_attention",
+    "box_corners_3d", "box_corners_bev", "boxes_iou_3d", "boxes_iou_bev",
+    "boxes_overlap_bev", "nms_bev", "points_in_rboxes", "points_to_box_frame",
+    "rotation_2d",
+    "chamfer_distance", "farthest_point_sample", "farthest_point_sample_with_dist",
+    "get_graph_feature", "group_points", "index_points", "interpolate_idw",
+    "knn_feature_space", "knn_indices", "query_ball_point", "random_point_sample",
+    "sample_and_group_all", "sample_and_group_edge", "square_distance",
+    "subsample_pc", "three_interpolate", "three_nn",
+    "bev_pool", "dynamic_scatter_mean", "voxelize_hard",
+]
