@@ -1,0 +1,133 @@
+"""Batch pipeline: fixed-shape collation + background prefetch to device.
+
+Replaces the reference's torch DataLoader + DataContainer collate + per-key list
+re-stacking inside the model (apis/train.py:34-45, ReIDNet.preprocess_inputs,
+ReIDNet.py:266-279) with direct numpy batch assembly: the sampler already yields
+fixed-shape numpy items, so collation is a stack and the model sees plain arrays.
+
+subsample_pc_np reproduces subsamplePC exactly (datasets/utils.py:606-621):
+random resample WITH replacement to a fixed count; all-zeros when the crop has
+fewer than 3 points. This is what makes every downstream shape static — the
+load-bearing trick that lets the whole model jit.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+
+def subsample_pc_np(rng: np.random.RandomState, pc: np.ndarray,
+                    n: int) -> np.ndarray:
+    """(N, C>=3) -> (n, 3) via resample-with-replacement; zeros if N < 3.
+
+    Mirrors subsamplePC (datasets/utils.py:606-621), including the keep-as-is
+    path when N == n and the xyz-only truncation.
+    """
+    if n == 0:
+        return pc.astype(np.float32)
+    if pc.shape[0] <= 2:
+        return np.zeros((n, 3), dtype=np.float32)
+    pc = pc[:, :3]
+    if pc.shape[0] != n:
+        idx = rng.randint(0, pc.shape[0], size=n)
+        pc = pc[idx]
+    return np.ascontiguousarray(pc, dtype=np.float32)
+
+
+def collate_pairs(items) -> Dict[str, np.ndarray]:
+    """Stack a list of sampler items into one fixed-shape numpy batch."""
+    out: Dict[str, np.ndarray] = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        out[k] = np.stack(vals) if np.ndim(vals[0]) > 0 else np.asarray(vals)
+    return out
+
+
+class BatchLoader:
+    """Iterates fixed-size batches from a PairDataset with background workers.
+
+    The reference uses worker subprocesses (workers_per_gpu, apis/train.py:37);
+    here sampling is numpy-cheap and disk IO releases the GIL, so a small thread
+    pool + a bounded prefetch queue keeps the accelerator fed. For the
+    production path with a real on-disk store, the native C++ reader
+    (point_cloud_reid_tpu/native) slots in behind the same interface.
+
+    Args:
+        dataset: PairDataset/ValEvenPairs.
+        batch_size: per-host batch.
+        shuffle: iterate a permutation of the index space each epoch.
+        drop_last: drop the trailing partial batch (required under jit).
+        transform: optional fn(batch_dict) -> batch_dict (e.g. device put).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0,
+                 num_threads: int = 2, prefetch: int = 4,
+                 transform: Optional[Callable] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_threads = max(1, num_threads)
+        self.prefetch = prefetch
+        self.transform = transform
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch, seed=self.seed)
+
+    def _index_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._index_order()
+        nb = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker(worker_id: int):
+            for b in range(worker_id, nb, self.num_threads):
+                if stop.is_set():
+                    return
+                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                batch = collate_pairs([self.dataset.sample(int(i))
+                                       for i in idxs])
+                if self.transform is not None:
+                    batch = self.transform(batch)
+                q.put((b, batch))
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(self.num_threads)]
+        for t in threads:
+            t.start()
+        try:
+            pending: Dict[int, Any] = {}
+            want = 0
+            got = 0
+            while got < nb:
+                while want not in pending:
+                    b, batch = q.get()
+                    pending[b] = batch
+                yield pending.pop(want)
+                want += 1
+                got += 1
+        finally:
+            stop.set()
+            # drain so workers blocked on put() can exit
+            while not q.empty():
+                q.get_nowait()

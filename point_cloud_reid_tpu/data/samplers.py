@@ -1,0 +1,302 @@
+"""Pair samplers: random train pairs + seeded point-count-matched val pairs.
+
+Rebuilds the reference dataset family (reidentification_base.py,
+reidentification_nuscenes.py, reidentification_waymo.py) as two dataset-agnostic
+classes — the nuScenes/Waymo split lives entirely in the config (class maps),
+not in subclasses:
+
+  PairDataset   <- ReIDDataset{Nuscenes,Waymo}FP.__getitem__ (train sampling:
+                   coin-flip positive/negative, FP-aware density-matched
+                   negatives, reidentification_nuscenes.py:37-72 +
+                   reidentification_base.py:319-359)
+  ValEvenPairs  <- ReIDDataset{Nuscenes,Waymo}FPValEven (seeded pair-list
+                   construction with max_combinations positives per object and
+                   one density-bucket-matched negative per positive,
+                   reidentification_nuscenes.py:151-246,
+                   reidentification_base.py:361-425)
+
+Design deltas from the reference (documented, deliberate):
+  * RNG is an explicit np.random.RandomState per dataset/epoch instead of the
+    global numpy stream — reproducible without process-global seeding; val pair
+    lists can be dumped to JSON for cross-framework parity (SURVEY.md §7 hard
+    part 2 recommends freezing them as artifacts).
+  * The reference's visibility swap bug (return_item_size_vis assigns v2 to
+    vis_1, reidentification_base.py:471) is not carried.
+  * `mode='image'` folds the ReIDDataset*Image* subclasses into the same class.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .buckets import DensityBuckets, POW2_BUCKETS, bucket_of
+from .pipeline import subsample_pc_np
+from .store import FakeCompleteStore
+
+
+class PairDataset:
+    """Training pair sampler over a crop store.
+
+    Args:
+        store: CropStore/SyntheticStore (sparse crops).
+        classes: ordered TP class keys (CLASSES in configs).
+        cls_to_idx: class key -> int (-1 drops the class).
+        tracking_classes: raw class_name -> class key ('none' entries drop).
+        complete_store: dense-shape store; default FakeCompleteStore zeros.
+        subsample_sparse/dense: fixed point counts after resample-with-replacement.
+        mode: 'points' | 'image'.
+        min_pos_frames: TP objects need > this many usable frames
+            (collect_dataset_idx keeps temp > 2, reidentification_base.py:213).
+    """
+
+    def __init__(self, store, classes: Sequence[str],
+                 cls_to_idx: Dict[str, int],
+                 tracking_classes: Dict[str, str],
+                 complete_store=None,
+                 subsample_sparse: int = 128, subsample_dense: int = 2048,
+                 mode: str = "points", min_pos_frames: int = 2, seed: int = 0):
+        self.store = store
+        self.classes = list(classes)
+        self.cls_to_idx = dict(cls_to_idx)
+        self.idx_to_cls = {v: k for k, v in self.cls_to_idx.items()}
+        # FP class key 'FP_x' -> idx + len(CLASSES)
+        # (configs cls_to_idx_fp, reid_nuscenes_pts.py class maps)
+        self.cls_to_idx_fp = dict(self.cls_to_idx)
+        for k, v in self.cls_to_idx.items():
+            if v >= 0:
+                self.cls_to_idx_fp["FP_" + k] = v + len(self.classes)
+        self.idx_to_cls_fp = {v: k for k, v in self.cls_to_idx_fp.items()}
+        self.tracking_classes = dict(tracking_classes)
+        self.complete_store = complete_store or FakeCompleteStore(subsample_dense)
+        self.subsample_sparse = subsample_sparse
+        self.subsample_dense = subsample_dense
+        self.mode = mode
+        self.rng = np.random.RandomState(seed)
+
+        self.frames = store.frame_index()
+
+        # ---- TP/FP object index (collect_dataset_idx,
+        #      reidentification_base.py:202-249) -------------------------------
+        self.tp_tokens: List[str] = []
+        self.tp_labels: List[int] = []
+        self.fp_tokens: List[str] = []
+        self.fp_labels: List[int] = []
+        class_key_of: Dict[str, str] = {}
+        for tok, rec in store.objects.items():
+            n = len(self.frames[tok])
+            key = self.tracking_classes.get(rec.class_name)
+            if key is None:
+                continue
+            if rec.is_fp:
+                idx = self.cls_to_idx_fp.get("FP_" + key, -1)
+                if n >= 1 and idx >= 0:
+                    self.fp_tokens.append(tok)
+                    self.fp_labels.append(idx)
+                    class_key_of[tok] = "FP_" + key
+            else:
+                idx = self.cls_to_idx.get(key, -1)
+                if n > min_pos_frames and idx >= 0:
+                    self.tp_tokens.append(tok)
+                    self.tp_labels.append(idx)
+                    class_key_of[tok] = key
+        self.tp_labels = np.asarray(self.tp_labels, dtype=np.int32)
+        self.fp_labels = np.asarray(self.fp_labels, dtype=np.int32)
+
+        num_pts = {tok: store.objects[tok].num_pts for tok in class_key_of}
+        usable_frames = {tok: self.frames[tok] for tok in class_key_of}
+        self.buckets = DensityBuckets(usable_frames, num_pts, class_key_of)
+
+    # ---- helpers -------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.tp_tokens)
+
+    def set_epoch(self, epoch: int, seed: int = 0):
+        """Reseed per epoch (CustomEpochBasedRunner.set_epoch +
+        ShuffleDatasetHook semantics, shuffle_dataset_hook.py:24-31)."""
+        self.rng = np.random.RandomState(seed + epoch)
+
+    def _int_id(self, tok: str) -> int:
+        """Stable int identity; -1 for FP objects (the reference maps FP dense
+        shapes to id -1, reidentification_nuscenes.py:63-67)."""
+        if self.store.objects[tok].is_fp:
+            return -1
+        return self.store.token_to_int[tok]
+
+    def _load_sparse(self, tok: str, frame: str) -> np.ndarray:
+        if self.mode == "image":
+            return self.store.load_image(tok, frame)
+        return self.store.load_points(tok, frame)
+
+    def _negative_object(self, pos_tok: str, label: int
+                         ) -> Tuple[str, int, int]:
+        """Density-matched negative draw (get_random_other_even_train,
+        reidentification_base.py:319-359): density from the positive object's
+        own distribution; 50% same-class TP / 50% same-class FP."""
+        density = self.buckets.sample_density(self.rng, pos_tok)
+        if self.rng.randint(2) == 1:
+            cls2 = label
+        else:
+            cls2 = label + len(self.classes)
+        class_key = self.idx_to_cls_fp[cls2]
+        cands, density = self.buckets.class_list_at_density(class_key, density)
+        other = pos_tok
+        while other == pos_tok:
+            other = cands[self.rng.randint(len(cands))][0]
+        return other, cls2, density
+
+    def sample(self, i: int) -> Dict[str, Any]:
+        """One training pair (ReIDDatasetNuscenesFP.__getitem__,
+        reidentification_nuscenes.py:37-72)."""
+        tok1 = self.tp_tokens[i % len(self.tp_tokens)]
+        l1 = int(self.tp_labels[i % len(self.tp_tokens)])
+        id1 = self._int_id(tok1)
+        d1 = self.complete_store.load_complete(tok1)
+
+        if self.rng.randint(2) == 1:                       # positive pair
+            f1, f2 = self.rng.choice(self.frames[tok1], 2, replace=False)
+            s1 = self._load_sparse(tok1, f1)
+            s2 = self._load_sparse(tok1, f2)
+            tok2, l2, id2, d2 = tok1, l1, id1, d1
+        else:                                              # negative pair
+            f1 = self.rng.choice(self.frames[tok1])
+            s1 = self._load_sparse(tok1, f1)
+            tok2, l2, density = self._negative_object(tok1, l1)
+            if self.store.objects[tok2].is_fp:
+                d2 = self.rng.randn(self.subsample_dense, 3).astype(np.float32)
+                id2 = -1
+            else:
+                d2 = self.complete_store.load_complete(tok2)
+                id2 = self._int_id(tok2)
+            f2 = self.buckets.random_frame_in_bucket(self.rng, tok2, density)
+            s2 = self._load_sparse(tok2, f2)
+
+        return self._item(s1, s2, d1, d2, l1, l2, id1, id2,
+                          vis=(self._vis(tok1, f1), self._vis(tok2, f2)))
+
+    def _vis(self, tok: str, frame: str) -> int:
+        v = self.store.objects[tok].visibility.get(str(frame), -1)
+        # nuScenes visibility tokens 1-4 -> class ids 0-3
+        # (vis_to_cls_id, reidentification_nuscenes.py:29)
+        return int(v) - 1 if int(v) in (1, 2, 3, 4) else -1
+
+    def _item(self, s1, s2, d1, d2, l1, l2, id1, id2, vis=(-1, -1)):
+        size_1, size_2 = s1.shape[0], s2.shape[0]
+        if self.mode == "points":
+            s1 = subsample_pc_np(self.rng, s1, self.subsample_sparse)
+            s2 = subsample_pc_np(self.rng, s2, self.subsample_sparse)
+            d1 = subsample_pc_np(self.rng, d1, self.subsample_dense)
+            d2 = subsample_pc_np(self.rng, d2, self.subsample_dense)
+            item = dict(sparse_1=s1, sparse_2=s2, dense_1=d1, dense_2=d2)
+        else:
+            size_1 = size_2 = self.subsample_sparse  # image tokens are fixed
+            item = dict(sparse_1=s1.astype(np.float32),
+                        sparse_2=s2.astype(np.float32))
+        item.update(label_1=np.int32(l1), label_2=np.int32(l2),
+                    id_1=np.int32(id1), id_2=np.int32(id2),
+                    size_1=np.int32(size_1), size_2=np.int32(size_2),
+                    vis_1=np.int32(vis[0]), vis_2=np.int32(vis[1]))
+        return item
+
+
+class ValEvenPairs(PairDataset):
+    """Deterministic validation pair list, point-count matched.
+
+    Built once at construction under `validation_seed`
+    (ReIDDataset*FPValEven.before_collect_dataset_idx_hook -> set_seeds,
+    reidentification_nuscenes.py:206-207): all C(frames,2) positive combos per
+    object, shuffled, truncated to max_combinations; then exactly one negative
+    per positive whose point count falls in the same power-of-2 bucket
+    (get_random_other_even_val, reidentification_base.py:361-425).
+    """
+
+    def __init__(self, *args, max_combinations: int = 10,
+                 validation_seed: int = 0, **kwargs):
+        super().__init__(*args, seed=validation_seed, **kwargs)
+        self.max_combinations = max_combinations
+        rng = self.rng
+
+        import itertools
+        positives = []
+        for tok, lab in zip(self.tp_tokens, self.tp_labels):
+            combs = list(itertools.combinations(self.frames[tok], 2))
+            rng.shuffle(combs)
+            for f1, f2 in combs[:max_combinations]:
+                positives.append(dict(
+                    tok=tok, o1=f1, o2=f2, cls=int(lab),
+                    pts2=self.store.objects[tok].num_pts[f2]))
+        self.val_positives = positives
+
+        negatives = []
+        for x in positives:
+            tok2, cls2, f2 = self._negative_even(x["tok"], x["cls"], x["pts2"])
+            negatives.append(dict(tok1=x["tok"], o1=x["o1"], cls1=x["cls"],
+                                  tok2=tok2, o2=f2, cls2=cls2))
+        self.val_negatives = negatives
+
+    def _negative_even(self, pos_tok: str, label: int, pts: int
+                       ) -> Tuple[str, int, str]:
+        b = bucket_of(pts)
+        if self.rng.randint(2) == 1:
+            cls2 = label
+        else:
+            cls2 = label + len(self.classes)
+        class_key = self.idx_to_cls_fp[cls2]
+        cands, b = self.buckets.class_list_at_density(class_key, b)
+        other = pos_tok
+        while other == pos_tok:
+            other = cands[self.rng.randint(len(cands))][0]
+        frame = self.buckets.random_frame_in_bucket(self.rng, other, b)
+        return other, cls2, frame
+
+    def __len__(self) -> int:
+        return 2 * len(self.val_positives)
+
+    def sample(self, idx: int) -> Dict[str, Any]:
+        if idx < len(self.val_positives):
+            x = self.val_positives[idx]
+            tok = x["tok"]
+            s1 = self._load_sparse(tok, x["o1"])
+            s2 = self._load_sparse(tok, x["o2"])
+            d1 = self.complete_store.load_complete(tok)
+            i1 = self._int_id(tok)
+            return self._item(s1, s2, d1, d1, x["cls"], x["cls"], i1, i1,
+                              vis=(self._vis(tok, x["o1"]),
+                                   self._vis(tok, x["o2"])))
+        x = self.val_negatives[idx - len(self.val_positives)]
+        s1 = self._load_sparse(x["tok1"], x["o1"])
+        s2 = self._load_sparse(x["tok2"], x["o2"])
+        d1 = self.complete_store.load_complete(x["tok1"])
+        if self.store.objects[x["tok2"]].is_fp:
+            d2 = self.rng.randn(self.subsample_dense, 3).astype(np.float32)
+            id2 = -1
+        else:
+            d2 = self.complete_store.load_complete(x["tok2"])
+            id2 = self._int_id(x["tok2"])
+        return self._item(s1, s2, d1, d2, x["cls1"], x["cls2"],
+                          self._int_id(x["tok1"]), id2,
+                          vis=(self._vis(x["tok1"], x["o1"]),
+                               self._vis(x["tok2"], x["o2"])))
+
+    def dump_pairs(self) -> Dict[str, Any]:
+        """Freeze the pair lists as a JSON-able artifact for parity checks."""
+        return dict(positives=self.val_positives, negatives=self.val_negatives)
+
+
+def build_pair_dataset(cfg: Dict[str, Any], store, complete_store=None):
+    """Config-dict entry (mirrors build_dataset registry dispatch,
+    datasets/builder.py:20-44): cfg['split'] in {'train','val'}."""
+    common = dict(
+        store=store, classes=cfg["classes"], cls_to_idx=cfg["cls_to_idx"],
+        tracking_classes=cfg["tracking_classes"],
+        complete_store=complete_store,
+        subsample_sparse=cfg.get("subsample_sparse", 128),
+        subsample_dense=cfg.get("subsample_dense", 2048),
+        mode=cfg.get("mode", "points"),
+    )
+    if cfg.get("split", "train") == "val":
+        return ValEvenPairs(max_combinations=cfg.get("max_combinations", 10),
+                            validation_seed=cfg.get("validation_seed", 0),
+                            **common)
+    return PairDataset(seed=cfg.get("seed", 0), **common)

@@ -1,0 +1,225 @@
+"""Object crop store: per-object, per-frame LiDAR/image crops on disk.
+
+Keeps the reference's on-disk crop layout so existing nuScenes-ReID / Waymo-ReID
+exports load unchanged (object_loader_base.py:247-301):
+
+    {root}/{obj.path}/{frame}/pts_xyz.bin   float32 (N, 3) flat
+    {root}/{obj.path}/{frame}/img_crop.bin  float32 (3, H, W) flat
+
+but replaces the lamtk Loader + pickle-metadata dependency with a single
+self-describing `objects.pkl` index. Missing image crops load as zeros — the
+reference's deliberate soft-failure (object_loader_base.py:289-295).
+
+`SyntheticStore` generates a complete fake dataset (the reference's
+FakeCompleteLoader pattern generalized, object_loader_base.py:499-504) for tests
+and benchmarks: procedurally-generated per-object point clouds with consistent
+per-object shape so ReID training on it is learnable.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ObjectRecord:
+    """Metadata for one object track in the store.
+
+    Mirrors the fields the reference reads off lamtk obj_infos: id, class_name,
+    path, num_pts/visibility dicts keyed by frame id (object_loader_base.py:99-141).
+    """
+
+    id: str
+    class_name: str
+    path: str
+    num_pts: Dict[str, int]
+    visibility: Dict[str, int] = dataclasses.field(default_factory=dict)
+
+    @property
+    def is_fp(self) -> bool:
+        # FP objects are detector false positives, id-prefixed "FP_"
+        # (reidentification_base.py:214, object_loader_base.py:186-190)
+        return self.id.startswith("FP")
+
+
+class CropStore:
+    """Reads crops + metadata; analogous to ObjectLoaderSparse*/Complete*.
+
+    Args:
+        root: dataset root containing objects.pkl and crop directories.
+        min_points: frames with fewer points are filtered out (filter_mode 'pts',
+            object_loader_base.py:117-123).
+        filter_mode: 'pts' | 'vis' | 'pts and vis' (reference filter modes).
+        crop_size: (H, W) of image crops.
+        load_fraction: fraction of each frame's points to load, taken from the
+            file tail (reference load semantics, object_loader_base.py:258-268).
+    """
+
+    def __init__(self, root: str, min_points: int = 1, filter_mode: str = "pts",
+                 crop_size: Tuple[int, int] = (224, 224),
+                 load_fraction: float = 1.0):
+        self.root = root
+        self.min_points = min_points
+        self.filter_mode = filter_mode
+        self.crop_size = tuple(crop_size)
+        self.load_fraction = load_fraction
+        with open(os.path.join(root, "objects.pkl"), "rb") as f:
+            records: List[ObjectRecord] = pickle.load(f)
+        self.objects: Dict[str, ObjectRecord] = {r.id: r for r in records}
+        # stable integer id per TP object token (reference
+        # instance_token_to_id.pkl, reidentification_nuscenes.py:20-22)
+        self.token_to_int = {tok: i for i, tok in enumerate(sorted(self.objects))}
+
+    # ---- frame filtering (object_loader_base.py:99-141) ---------------------
+
+    def filtered_frames(self, rec: ObjectRecord) -> List[str]:
+        def by_pts(frames):
+            return [f for f in frames if rec.num_pts.get(f, 0) >= self.min_points]
+
+        frames = sorted(rec.num_pts.keys(), key=int)
+        if self.filter_mode == "pts":
+            return by_pts(frames)
+        if self.filter_mode == "vis":
+            return sorted(rec.visibility.keys(), key=int)
+        if self.filter_mode == "pts and vis":
+            vis = set(rec.visibility.keys())
+            return [f for f in by_pts(frames) if f in vis]
+        if self.filter_mode == "both":
+            both = set(rec.num_pts) | set(rec.visibility)
+            return sorted(both, key=int)
+        raise ValueError(f"filter_mode {self.filter_mode}")
+
+    def frame_index(self) -> Dict[str, List[str]]:
+        """obj id -> usable frame list (collect_obj_id_to_nums,
+        object_loader_base.py:143-147)."""
+        return {k: self.filtered_frames(v) for k, v in self.objects.items()}
+
+    # ---- crop IO -------------------------------------------------------------
+
+    def _frame_dir(self, rec: ObjectRecord, frame: str) -> str:
+        return os.path.join(self.root, rec.path, str(frame))
+
+    def load_points(self, obj_id: str, frame: str) -> np.ndarray:
+        """(N, 3) float32 xyz crop, already centered in the box frame by the
+        exporter (reference load_points, object_loader_base.py:247-269)."""
+        rec = self.objects[obj_id]
+        path = os.path.join(self._frame_dir(rec, frame), "pts_xyz.bin")
+        n_total = os.stat(path).st_size // (4 * 3)
+        n_skip = n_total - int(n_total * self.load_fraction)
+        return np.fromfile(path, offset=4 * 3 * n_skip,
+                           dtype=np.float32).reshape(-1, 3)
+
+    def load_image(self, obj_id: str, frame: str) -> np.ndarray:
+        """(3, H, W) float32 image crop; zeros when the crop file is missing
+        (object_loader_base.py:289-295)."""
+        rec = self.objects[obj_id]
+        path = os.path.join(self._frame_dir(rec, frame), "img_crop.bin")
+        try:
+            im = np.fromfile(path, dtype=np.float32).reshape(
+                (3,) + self.crop_size)
+        except (FileNotFoundError, ValueError):
+            im = np.zeros((3,) + self.crop_size, dtype=np.float32)
+        return im
+
+
+class FakeCompleteStore:
+    """Zeros stand-in for the dense complete-shape store — used by every released
+    config since the shape loss is off (object_loader_base.py:499-504)."""
+
+    def __init__(self, subsample_num: int = 2048):
+        self.ssn = subsample_num
+
+    def load_complete(self, obj_id: str) -> np.ndarray:
+        return np.zeros((self.ssn, 3), dtype=np.float32)
+
+
+class SyntheticStore:
+    """Procedural in-memory dataset with the CropStore interface.
+
+    Each object is a random gaussian-blob "shape" with a per-object signature
+    (anisotropic scale + offset pattern), observed over `frames_per_obj` frames
+    at varying densities — so match training on it is actually learnable and the
+    density-bucket machinery is exercised. Used by tests and bench.py in place
+    of the external nuScenes/Waymo-ReID downloads (SURVEY.md §7 hard part 6).
+    """
+
+    def __init__(self, num_objects: int = 40, frames_per_obj: int = 6,
+                 num_classes: int = 10, fp_fraction: float = 0.25,
+                 min_points: int = 5, seed: int = 0,
+                 point_range: Tuple[int, int] = (8, 400),
+                 crop_size: Tuple[int, int] = (32, 32), with_images: bool = False):
+        rng = np.random.RandomState(seed)
+        self.min_points = min_points
+        self.crop_size = tuple(crop_size)
+        self.with_images = with_images
+        self.objects: Dict[str, ObjectRecord] = {}
+        self._points: Dict[Tuple[str, str], np.ndarray] = {}
+        self._images: Dict[Tuple[str, str], np.ndarray] = {}
+        self._complete: Dict[str, np.ndarray] = {}
+
+        n_fp = int(num_objects * fp_fraction)
+        for i in range(num_objects):
+            is_fp = i < n_fp
+            tok = (f"FP_obj{i:04d}" if is_fp else f"obj{i:04d}")
+            cls = int(rng.randint(num_classes))
+            scale = 0.5 + rng.rand(3) * 2.0          # per-object signature
+            base = rng.randn(64, 3) * scale           # canonical shape
+            num_pts, vis = {}, {}
+            n_frames = 1 if is_fp else frames_per_obj
+            for f in range(n_frames):
+                n = int(rng.randint(point_range[0], point_range[1]))
+                idx = rng.randint(0, 64, size=n)
+                pts = (base[idx] + rng.randn(n, 3) * 0.05).astype(np.float32)
+                frame = str(f)
+                self._points[(tok, frame)] = pts
+                num_pts[frame] = n
+                vis[frame] = int(rng.randint(1, 5))   # nuScenes vis levels 1-4
+                if with_images:
+                    im = rng.randn(3, *self.crop_size).astype(np.float32) * 0.1
+                    im += scale[:, None, None]         # per-object signature
+                    self._images[(tok, frame)] = im
+            self.objects[tok] = ObjectRecord(
+                id=tok, class_name=f"class_{cls}", path=tok,
+                num_pts=num_pts, visibility=vis)
+            self._complete[tok] = (base + rng.randn(64, 3) * 0.02).astype(
+                np.float32)
+        self.token_to_int = {tok: i for i, tok in enumerate(sorted(self.objects))}
+        self.filter_mode = "pts"
+
+    def filtered_frames(self, rec: ObjectRecord) -> List[str]:
+        return [f for f in sorted(rec.num_pts, key=int)
+                if rec.num_pts[f] >= self.min_points]
+
+    def frame_index(self) -> Dict[str, List[str]]:
+        return {k: self.filtered_frames(v) for k, v in self.objects.items()}
+
+    def load_points(self, obj_id: str, frame: str) -> np.ndarray:
+        return self._points[(obj_id, str(frame))]
+
+    def load_image(self, obj_id: str, frame: str) -> np.ndarray:
+        key = (obj_id, str(frame))
+        if key in self._images:
+            return self._images[key]
+        return np.zeros((3,) + self.crop_size, dtype=np.float32)
+
+    def load_complete(self, obj_id: str) -> np.ndarray:
+        return self._complete[obj_id]
+
+    def save(self, root: str):
+        """Materialize to the on-disk CropStore layout (for IO-path tests and
+        the native C++ reader)."""
+        os.makedirs(root, exist_ok=True)
+        for (tok, frame), pts in self._points.items():
+            d = os.path.join(root, tok, frame)
+            os.makedirs(d, exist_ok=True)
+            pts.astype(np.float32).tofile(os.path.join(d, "pts_xyz.bin"))
+        for (tok, frame), im in self._images.items():
+            d = os.path.join(root, tok, frame)
+            os.makedirs(d, exist_ok=True)
+            im.astype(np.float32).tofile(os.path.join(d, "img_crop.bin"))
+        with open(os.path.join(root, "objects.pkl"), "wb") as f:
+            pickle.dump(list(self.objects.values()), f)

@@ -1,0 +1,178 @@
+"""Amortized NxN pair scoring — the real-time tracking workload.
+
+The reference scores track-detection pairs by gathering per-pair tensors and
+looping the match head (PointReidentifier.__call__,
+trackers/deprecated/tracking_point_reid.py:49-118): backbone once per object
+(features cached per track, tracking_feature_set.py:12), then
+match_forward_inference on the class-wise cartesian product, scattered into an
+(n_tracks, n_dets) cost matrix. That design is re-expressed TPU-first:
+
+  * embeddings: one batched backbone call per frame for all new detections
+    (the expensive O(backbone) stage, amortized exactly as the reference does);
+  * scoring: ALL NxM pairs evaluated in ONE jitted program — the pair axis is
+    just a batch axis for the cross-attention match head, and linear attention
+    makes each pair two (d x N)(N x d) MXU contractions. No gather loop, no
+    per-pair dispatch.
+  * static shapes: track/det counts are padded to fixed buckets so the program
+    compiles once per bucket (SURVEY.md §7 hard part 4); masked entries score
+    -inf.
+  * scale-out: shard the pair grid's track axis over the mesh 'pairs'/'data'
+    axis for multi-chip throughput (>=100k pairs/s target, BASELINE.json).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FeatureCache:
+    """Per-track embedding cache (PointFeatureSet/ImageFeatureSet,
+    tracking_feature_set.py:12-120): host-side ring of device arrays keyed by
+    track id; embeddings are computed once when a track is born/updated."""
+
+    def __init__(self):
+        self._h: Dict[int, Any] = {}
+        self._xyz: Dict[int, Any] = {}
+
+    def update(self, track_ids, h, xyz=None):
+        for i, tid in enumerate(track_ids):
+            self._h[int(tid)] = h[i]
+            if xyz is not None:
+                self._xyz[int(tid)] = xyz[i]
+
+    def gather(self, track_ids):
+        h = jnp.stack([self._h[int(t)] for t in track_ids])
+        xyz = (jnp.stack([self._xyz[int(t)] for t in track_ids])
+               if self._xyz else None)
+        return h, xyz
+
+    def drop(self, track_ids):
+        for tid in track_ids:
+            self._h.pop(int(tid), None)
+            self._xyz.pop(int(tid), None)
+
+    def __len__(self):
+        return len(self._h)
+
+
+def _round_up(n: int, sizes=(8, 16, 32, 64, 128, 256, 512)) -> int:
+    for s in sizes:
+        if n <= s:
+            return s
+    return int(2 ** np.ceil(np.log2(max(n, 1))))
+
+
+class PairScorer:
+    """Batched NxM match scoring on top of a ReIDNet-family model.
+
+    Args:
+        model: ReIDNet (points) or ImageReIDNet (images).
+        variables: flax variables {'params': ..., 'batch_stats': ...}.
+        image_mode: skip xyz plumbing for the image branch.
+    """
+
+    def __init__(self, model, variables, image_mode: bool = False):
+        self.model = model
+        self.variables = variables
+        self.image_mode = image_mode
+
+        @jax.jit
+        def _embed(variables, pts):
+            return model.apply(variables, pts, train=False,
+                               method="embed")
+        self._embed = _embed
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _score(variables, h1, xyz1, h2, xyz2):
+            # pair axis == batch axis; one fused program for all pairs
+            if image_mode:
+                logits = model.apply(variables, h1, h2, train=False,
+                                     method="match_logits")
+            else:
+                logits, _ = model.apply(variables, h1, xyz1, h2, xyz2,
+                                        train=False,
+                                        method="match_logits")
+            return logits
+        self._score = _score
+
+    # ---- embedding stage (amortized per object) ------------------------------
+
+    def embed(self, crops: jnp.ndarray):
+        """(B, N, 3) crops -> (xyz (B,N,3), h (B,N,C)); image mode:
+        (B, 3, H, W) -> tokens then downsample (forward_inference paths,
+        ReIDNet.py:189-192 / :914-926)."""
+        if self.image_mode:
+            toks = self._embed(self.variables, crops)
+            return None, toks
+        return self._embed(self.variables, crops)
+
+    def embed_image_tokens(self, h):
+        """Apply the per-token downsample MLP used before matching
+        (ReIDNet.py:1232-1237)."""
+        return self.model.apply(self.variables, h, train=False,
+                                method=lambda m, x, train: m._downsample(
+                                    x, train=train))
+
+    # ---- scoring stage --------------------------------------------------------
+
+    def cost_matrix(self, h_tracks, xyz_tracks, h_dets, xyz_dets,
+                    track_classes: Optional[np.ndarray] = None,
+                    det_classes: Optional[np.ndarray] = None,
+                    pad: bool = True) -> jnp.ndarray:
+        """Score every (track, det) pair -> (n_tracks, n_dets) logits.
+
+        Class gating mirrors get_labels_to_compare
+        (tracking_point_reid.py:15-33): pairs with mismatched classes get -inf
+        without being evaluated (they ARE evaluated here — masking beats
+        dynamic shapes on TPU — but cost nothing extra since the grid is one
+        fused batch).
+        """
+        nt, nd = h_tracks.shape[0], h_dets.shape[0]
+        nt_p = _round_up(nt) if pad else nt
+        nd_p = _round_up(nd) if pad else nd
+
+        def pad0(x, n):
+            if x is None or x.shape[0] == n:
+                return x
+            pad_width = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pad_width)
+
+        h_t, h_d = pad0(h_tracks, nt_p), pad0(h_dets, nd_p)
+        x_t, x_d = pad0(xyz_tracks, nt_p), pad0(xyz_dets, nd_p)
+
+        # build the P = nt_p * nd_p pair batch by broadcasting (XLA fuses the
+        # expand+reshape into the first matmul's loads; no host gather)
+        def grid(a, b):
+            pa = jnp.broadcast_to(a[:, None], (nt_p, nd_p) + a.shape[1:]
+                                  ).reshape((nt_p * nd_p,) + a.shape[1:])
+            pb = jnp.broadcast_to(b[None, :], (nt_p, nd_p) + b.shape[1:]
+                                  ).reshape((nt_p * nd_p,) + b.shape[1:])
+            return pa, pb
+
+        h1, h2 = grid(h_t, h_d)
+        if self.image_mode:
+            logits = self._score(self.variables, h1, None, h2, None)
+        else:
+            x1, x2 = grid(x_t, x_d)
+            logits = self._score(self.variables, h1, x1, h2, x2)
+        mat = logits.reshape(nt_p, nd_p)[:nt, :nd]
+
+        if track_classes is not None and det_classes is not None:
+            ok = (np.asarray(track_classes)[:, None] ==
+                  np.asarray(det_classes)[None, :])
+            mat = jnp.where(jnp.asarray(ok), mat, -jnp.inf)
+        return mat
+
+    def score_frame(self, cache: FeatureCache, track_ids, det_crops,
+                    track_classes=None, det_classes=None):
+        """One tracking frame (10 Hz workload): embed new detections, score
+        against cached track features, return (cost_matrix, det_h, det_xyz)."""
+        xyz_d, h_d = self.embed(det_crops)
+        h_t, xyz_t = cache.gather(track_ids)
+        mat = self.cost_matrix(h_t, xyz_t, h_d, xyz_d,
+                               track_classes, det_classes)
+        return mat, h_d, xyz_d

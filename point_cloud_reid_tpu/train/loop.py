@@ -1,0 +1,231 @@
+"""Functional training loop: jit/SPMD train step + epoch driver + eval + hooks.
+
+Replaces the reference's L3/L4 stack — train_model (apis/train.py:20-134), the
+mmcv EpochBasedRunner + CustomEpochBasedRunner (runner/epoch_based_runner.py),
+OptimizerHook zoo (bugfix/cumulative_optimizer_fix.py, custom_optim_hook.py),
+DistEvalHook (core/hooks/eval_hook.py) — with:
+
+  make_train_step(...)  one pjit-compiled function: forward + losses + grads +
+                        (XLA-fused psum over the mesh) + optax update. The
+                        explicit dist.barrier() between backward and step the
+                        reference needs (custom_optim_hook.py:53-57) is
+                        meaningless here — SPMD programs are race-free by
+                        construction.
+  make_eval_step(...)   jitted forward_test (ReIDNet.py:637-689): per-pair
+                        logits + metadata for the stratified evaluator.
+  Trainer               epoch driver: per-epoch sampler reseed (replaces
+                        ShuffleDatasetHook/DistSamplerSeedHook), interval eval
+                        (DistEvalHook), checkpointing (CheckpointHook -> orbax),
+                        metric logging (TextLogger/Neptune -> pluggable
+                        writers, utils/logging.py).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..evaluation import evaluate_results
+from ..parallel import make_mesh, replicated, shard_batch
+from ..utils.logging import MetricLogger
+from .losses import reid_losses
+from .state import TrainState
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    losses_to_use: Dict[str, bool], alpha: Dict[str, float],
+                    fp_label_threshold: int = 9, use_o: bool = False,
+                    triplet_sample_num: int = 5, triplet_margin: float = 0.2,
+                    donate: bool = True) -> Callable:
+    """Build the jitted train step: (state, batch, rng) -> (state, log_vars).
+
+    Equivalent surface: ReIDNet.train_step + forward_train + OptimizerHook
+    (backward, clip, step) fused into one XLA program.
+    """
+    need_dense = losses_to_use.get("dense", False)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out, mutated = model.apply(variables, batch, train=True,
+                                   mutable=["batch_stats"])
+        dense_feats = None
+        if need_dense:
+            # stop-gradient dense-branch features (get_dense_loss,
+            # ReIDNet.py:486-506 runs siamese_forward under no_grad)
+            _, _, hd1, hd2 = model.apply(
+                variables, batch["dense_1"], batch["dense_2"], train=False,
+                method=model.siamese)
+            dense_feats = jax.lax.stop_gradient(
+                jnp.concatenate([hd1, hd2], axis=0))
+        loss, log = reid_losses(
+            out, batch, losses_to_use=losses_to_use, alpha=alpha, rng=rng,
+            dense_feats=dense_feats, fp_label_threshold=fp_label_threshold,
+            use_o=use_o, triplet_sample_num=triplet_sample_num,
+            triplet_margin=triplet_margin, pool_type=model.pool_type)
+        return loss, (log, mutated.get("batch_stats", batch_stats))
+
+    def train_step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (log, new_bs)), grads = grad_fn(state.params, state.batch_stats,
+                                            batch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        log["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(params=new_params, batch_stats=new_bs,
+                                  opt_state=new_opt, step=state.step + 1)
+        return new_state, log
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, losses_to_use: Dict[str, bool],
+                   alpha: Dict[str, float], fp_label_threshold: int = 9
+                   ) -> Callable:
+    """Jitted eval forward (ReIDNet.forward_test, ReIDNet.py:637-689):
+    returns per-pair arrays for the host-side stratified evaluator."""
+
+    def eval_step(state: TrainState, batch, rng):
+        out = model.apply(state.variables, batch, train=False)
+        loss, log = reid_losses(out, batch, losses_to_use=losses_to_use,
+                                alpha=alpha, rng=rng,
+                                fp_label_threshold=fp_label_threshold,
+                                pool_type=model.pool_type)
+        labels_cat = jnp.concatenate([batch["label_1"], batch["label_2"]], 0)
+        res = dict(
+            val_match_preds=out["match_logits"],
+            val_match_gt=out["match"],
+            match_classes=jnp.stack([batch["label_1"], batch["label_2"]], 1),
+            val_cls_gt=labels_cat,
+            val_fp_gt=(labels_cat > fp_label_threshold).astype(jnp.float32),
+            is_fp=jnp.logical_or(batch["label_1"] > fp_label_threshold,
+                                 batch["label_2"] > fp_label_threshold),
+        )
+        if "cls_logits" in out:
+            res["val_cls_preds"] = out["cls_logits"]
+        if "fp_logits" in out:
+            res["val_fp_preds"] = out["fp_logits"]
+        if "size_1" in batch:
+            res["num_points"] = jnp.stack([batch["size_1"],
+                                           batch["size_2"]], 1)
+        if "vis_1" in batch:
+            res["val_vis_gt_all"] = jnp.stack([batch["vis_1"],
+                                               batch["vis_2"]], 1)
+        for k, v in log.items():
+            if k.endswith("_loss"):
+                res["val_" + k] = v[None]
+        return res
+
+    return jax.jit(eval_step)
+
+
+class Trainer:
+    """Epoch driver over jitted steps — the EpochBasedRunner equivalent.
+
+    Args:
+        model: ReIDNet-family flax module.
+        tx: optax transformation (train/schedules.build_optimizer).
+        train_loader / val_loader: data.BatchLoader.
+        cfg: runtime dict: max_epochs, eval_interval, checkpoint_interval,
+            work_dir, seed, losses_to_use, alpha, cls_to_idx, num_classes.
+    """
+
+    def __init__(self, model, tx, train_loader, val_loader, cfg: Dict[str, Any],
+                 mesh=None, logger: Optional[MetricLogger] = None):
+        self.model = model
+        self.tx = tx
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.logger = logger or MetricLogger(cfg.get("work_dir"))
+        lcfg = cfg.get("losses_to_use", dict(match=True))
+        alpha = cfg.get("alpha", {})
+        fp_thr = cfg.get("fp_label_threshold", 9)
+        self.train_step = make_train_step(
+            model, tx, lcfg, alpha, fp_label_threshold=fp_thr,
+            use_o=cfg.get("use_o", False),
+            triplet_sample_num=cfg.get("triplet_sample_num", 5),
+            triplet_margin=cfg.get("triplet_margin", 0.2))
+        self.eval_step = make_eval_step(
+            model, dict(lcfg, triplet=False, dense=False), alpha,
+            fp_label_threshold=fp_thr)
+
+    # ---- checkpointing (CheckpointHook -> orbax) ----------------------------
+
+    def save_checkpoint(self, state: TrainState, tag: str = "last"):
+        work_dir = self.cfg.get("work_dir")
+        if not work_dir:
+            return
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(work_dir, f"ckpt_{tag}"))
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, jax.device_get(state), force=True)
+
+    def load_checkpoint(self, state: TrainState, path: str) -> TrainState:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path), item=jax.device_get(state))
+        return jax.device_put(restored, replicated(self.mesh))
+
+    # ---- loops ---------------------------------------------------------------
+
+    def fit(self, state: TrainState, max_epochs: Optional[int] = None
+            ) -> TrainState:
+        max_epochs = max_epochs or self.cfg.get("max_epochs", 1)
+        eval_interval = self.cfg.get("eval_interval", 0)
+        ckpt_interval = self.cfg.get("checkpoint_interval", 0)
+        seed = self.cfg.get("seed", 0)
+        state = jax.device_put(state, replicated(self.mesh))
+        rng = jax.random.PRNGKey(seed)
+
+        for epoch in range(max_epochs):
+            self.train_loader.set_epoch(epoch)   # ShuffleDatasetHook semantics
+            t0 = time.time()
+            n = 0
+            for batch in self.train_loader:
+                rng, step_rng = jax.random.split(rng)
+                dev_batch = shard_batch(self.mesh, batch)
+                state, log = self.train_step(state, dev_batch, step_rng)
+                n += 1
+                if n % self.cfg.get("log_interval", 50) == 0:
+                    self.logger.log_train(int(state.step), epoch,
+                                          jax.device_get(log))
+            self.logger.log_train(int(state.step), epoch,
+                                  jax.device_get(log) if n else {},
+                                  extra={"epoch_time_s": time.time() - t0})
+
+            if eval_interval and (epoch + 1) % eval_interval == 0:
+                metrics = self.evaluate(state)
+                self.logger.log_eval(int(state.step), epoch, metrics)
+            if ckpt_interval and (epoch + 1) % ckpt_interval == 0:
+                self.save_checkpoint(state, tag="last")
+        self.save_checkpoint(state, tag="final")
+        return state
+
+    def evaluate(self, state: TrainState) -> Dict[str, Any]:
+        """Distributed eval: sharded forward, host-side aggregation — replaces
+        the tmpdir pickle gather (eval_hook.py:113-135)."""
+        rng = jax.random.PRNGKey(self.cfg.get("seed", 0))
+        accum: Dict[str, list] = {}
+        for batch in self.val_loader:
+            dev_batch = shard_batch(self.mesh, batch)
+            res = jax.device_get(self.eval_step(state, dev_batch, rng))
+            for k, v in res.items():
+                accum.setdefault(k, []).append(np.asarray(v))
+        results = {k: np.concatenate(v, axis=0) for k, v in accum.items()}
+        metrics = evaluate_results(
+            results, cls_to_idx=self.cfg.get("cls_to_idx", {}),
+            num_classes=self.cfg.get("num_classes", 10))
+        work_dir = self.cfg.get("work_dir")
+        if work_dir:
+            with open(os.path.join(work_dir, "eval_results.json"), "w") as f:
+                json.dump(metrics, f, indent=1)
+        return metrics

@@ -6,7 +6,11 @@ xla_force_host_platform_device_count.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image's sitecustomize registers the tunneled TPU ('axon') whenever
+# PALLAS_AXON_POOL_IPS is set and pins JAX_PLATFORMS=axon — tests must clear
+# BOTH before importing jax to get the virtual 8-device CPU mesh.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# This environment is single-core; persistent compilation cache makes re-runs cheap.
+os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

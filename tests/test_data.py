@@ -1,0 +1,136 @@
+"""Data-frontend tests: synthetic store, density buckets, pair samplers, pipeline.
+
+The reference has no tests for any of this (SURVEY.md §4); sampler invariants here
+encode the documented behavior of reidentification_base.py / object_loader_base.py.
+"""
+import numpy as np
+import pytest
+
+from point_cloud_reid_tpu.data import (
+    BatchLoader, DensityBuckets, PairDataset, SyntheticStore, ValEvenPairs,
+    collate_pairs, subsample_pc_np,
+)
+from point_cloud_reid_tpu.data.buckets import bucket_of
+
+CLASSES = [f"class_{i}" for i in range(10)]
+CLS_TO_IDX = {c: i for i, c in enumerate(CLASSES)}
+TRACKING = {c: c for c in CLASSES}
+
+
+def make_dataset(split="train", **kw):
+    store = SyntheticStore(num_objects=40, frames_per_obj=6, seed=3)
+    common = dict(store=store, classes=CLASSES, cls_to_idx=CLS_TO_IDX,
+                  tracking_classes=TRACKING, subsample_sparse=32,
+                  subsample_dense=64, **kw)
+    if split == "val":
+        return ValEvenPairs(max_combinations=4, validation_seed=7, **common)
+    return PairDataset(seed=0, **common)
+
+
+def test_subsample_pc_semantics(rng):
+    # resample-with-replacement to fixed n (datasets/utils.py:606-621)
+    pc = rng.randn(50, 3).astype(np.float32)
+    out = subsample_pc_np(np.random.RandomState(0), pc, 16)
+    assert out.shape == (16, 3)
+    # every output row is one of the input rows
+    assert all(any(np.allclose(r, p) for p in pc) for r in out)
+    # < 3 points -> zeros
+    assert (subsample_pc_np(np.random.RandomState(0), pc[:2], 16) == 0).all()
+    # exact-size input is passed through unchanged
+    pc32 = rng.randn(32, 3).astype(np.float32)
+    np.testing.assert_array_equal(subsample_pc_np(np.random.RandomState(0), pc32, 32), pc32)
+
+
+def test_bucket_of():
+    assert bucket_of(1) == 0 and bucket_of(2) == 1 and bucket_of(3) == 1
+    assert bucket_of(127) == 6 and bucket_of(128) == 7
+    assert bucket_of(0) == 0
+
+
+def test_train_sampler_pair_semantics():
+    ds = make_dataset("train")
+    assert len(ds) > 0
+    saw_pos = saw_neg = saw_fp = False
+    for i in range(60):
+        it = ds.sample(i % len(ds))
+        assert it["sparse_1"].shape == (32, 3)
+        assert it["dense_1"].shape == (64, 3)
+        same_id = int(it["id_1"]) == int(it["id_2"])
+        if same_id and it["id_1"] != -1:
+            saw_pos = True
+            assert it["label_1"] == it["label_2"]
+        else:
+            saw_neg = True
+            # negatives are same-class TP or the FP-shifted class
+            assert (it["label_2"] == it["label_1"]) or (
+                it["label_2"] == it["label_1"] + len(CLASSES))
+            if it["id_2"] == -1:
+                saw_fp = True
+    assert saw_pos and saw_neg and saw_fp
+
+
+def test_val_even_deterministic_and_balanced():
+    ds1 = make_dataset("val")
+    ds2 = make_dataset("val")
+    assert ds1.dump_pairs() == ds2.dump_pairs()  # seeded determinism
+    n = len(ds1)
+    assert n == 2 * len(ds1.val_positives)
+    # first half positives, second half negatives
+    it_pos = ds1.sample(0)
+    assert int(it_pos["id_1"]) == int(it_pos["id_2"])
+    it_neg = ds1.sample(n - 1)
+    assert (int(it_neg["id_1"]) != int(it_neg["id_2"])) or it_neg["id_1"] == -1
+
+
+def test_val_even_density_matched():
+    ds = make_dataset("val")
+    # negative's frame point count should be in a nearby bucket of pts2
+    offs = []
+    for pos, neg in zip(ds.val_positives[:40], ds.val_negatives[:40]):
+        n2 = ds.store.objects[neg["tok2"]].num_pts[neg["o2"]]
+        offs.append(abs(bucket_of(n2) - bucket_of(pos["pts2"])))
+    assert np.mean(offs) <= 1.5  # mostly same bucket, fallback walks allowed
+
+
+def test_batch_loader_shapes_and_order():
+    ds = make_dataset("train")
+    loader = BatchLoader(ds, batch_size=8, shuffle=True, seed=0, num_threads=2)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 8
+    b = batches[0]
+    assert b["sparse_1"].shape == (8, 32, 3)
+    assert b["label_1"].shape == (8,)
+    assert b["label_1"].dtype == np.int32
+    # determinism of index order across iterations with same epoch
+    again = list(BatchLoader(ds, batch_size=8, shuffle=True, seed=0,
+                             num_threads=1))
+    np.testing.assert_array_equal(batches[0]["size_1"], again[0]["size_1"])
+
+
+def test_image_mode():
+    store = SyntheticStore(num_objects=20, frames_per_obj=4, seed=1,
+                           with_images=True, crop_size=(16, 16))
+    ds = PairDataset(store=store, classes=CLASSES, cls_to_idx=CLS_TO_IDX,
+                     tracking_classes=TRACKING, mode="image",
+                     subsample_sparse=16)
+    it = ds.sample(0)
+    assert it["sparse_1"].shape == (3, 16, 16)
+    assert "dense_1" not in it
+
+
+def test_store_roundtrip(tmp_path):
+    store = SyntheticStore(num_objects=6, frames_per_obj=3, seed=2,
+                           with_images=True, crop_size=(8, 8))
+    store.save(str(tmp_path))
+    from point_cloud_reid_tpu.data import CropStore
+    disk = CropStore(str(tmp_path), min_points=5, crop_size=(8, 8))
+    tok = next(iter(store.objects))
+    frame = store.filtered_frames(store.objects[tok])[0]
+    np.testing.assert_allclose(disk.load_points(tok, frame),
+                               store.load_points(tok, frame))
+    np.testing.assert_allclose(disk.load_image(tok, frame),
+                               store.load_image(tok, frame))
+    # missing image -> zeros (object_loader_base.py:289-295)
+    missing = disk.load_image(tok, "999") if "999" in disk.objects[tok].num_pts \
+        else np.zeros((3, 8, 8))
+    assert missing.shape == (3, 8, 8)

@@ -1,0 +1,134 @@
+"""Model-layer tests: ReIDNet forwards for every match type + loss zoo.
+
+Tiny shapes keep single-core CPU compiles tolerable; shape/finiteness invariants
+mirror the reference call stack (SURVEY.md §3.4).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from point_cloud_reid_tpu.models import ReIDNet, ReIDNetCosine
+from point_cloud_reid_tpu.train.losses import (bce_with_logits, kl_pair_loss,
+                                               reid_losses, smooth_l1,
+                                               softmax_ce, triplet_loss)
+
+B, N = 2, 32
+NUMPOINTS = [16, 8, 4]
+
+
+def tiny_model(match_type="xcorr_eff", combine="point-cat", cosine=False):
+    cls = ReIDNetCosine if cosine else ReIDNet
+    d = 64
+    head_in = {"xcorr_eff": {"point-cat": 2 * d, "cat": 4 * d, "add": 2 * d,
+                             "minus": 2 * d}[combine],
+               "xcorr": 2 * d, "xcorr-baseline": 2 * d,
+               "concat": 4 * d}[match_type]
+    return cls(
+        backbone=dict(type="Pointnet_Backbone", conv_out=d),
+        match_head=[dict(type="LinearRes", n_in=head_in, n_out=64, ng=32),
+                    dict(type="Linear", out_features=1)],
+        cross_stage1=dict(type="corss_attention", d_model=d, nhead=2),
+        cross_stage2=dict(type="corss_attention", d_model=d, nhead=2),
+        local_stage1=dict(type="local_self_attention", d_model=d, nhead=2,
+                          knum=4, pos_size=d),
+        local_stage2=dict(type="local_self_attention", d_model=d, nhead=2,
+                          knum=4, pos_size=d),
+        match_type=match_type, combine=combine, pool_type="both",
+        backbone_list=NUMPOINTS,
+    )
+
+
+def make_batch(key):
+    k1, k2 = jax.random.split(key)
+    return dict(
+        sparse_1=jax.random.normal(k1, (B, N, 3)),
+        sparse_2=jax.random.normal(k2, (B, N, 3)),
+        label_1=jnp.array([1, 2]), label_2=jnp.array([1, 12]),
+        id_1=jnp.array([3, 4]), id_2=jnp.array([3, -1]),
+    )
+
+
+@pytest.mark.parametrize("match_type,combine", [
+    ("xcorr_eff", "point-cat"), ("xcorr_eff", "add"),
+    ("concat", "point-cat"),
+])
+def test_reidnet_match_types(match_type, combine):
+    model = tiny_model(match_type, combine)
+    batch = make_batch(jax.random.PRNGKey(0))
+    v = model.init(jax.random.PRNGKey(1), batch, train=False)
+    out = model.apply(v, batch, train=False)
+    assert out["match_logits"].shape == (B,)
+    assert out["h1"].shape == (B, N, 64)
+    assert np.isfinite(np.asarray(out["match_logits"])).all()
+    # match supervision = (id_1 == id_2) (ReIDNet.py:338-346)
+    np.testing.assert_array_equal(np.asarray(out["match"]), [1.0, 0.0])
+
+
+def test_reidnet_cosine_bounded():
+    model = tiny_model(cosine=True)
+    batch = make_batch(jax.random.PRNGKey(0))
+    v = model.init(jax.random.PRNGKey(1), batch, train=False)
+    out = model.apply(v, batch, train=False)
+    logits = np.asarray(out["match_logits"])
+    assert (np.abs(logits) <= 10.0 + 1e-4).all()  # 10x cosine scale
+
+
+def test_loss_primitives_match_torch_semantics():
+    # golden values computed from the definitions
+    logits = jnp.array([0.0, 2.0, -2.0])
+    targets = jnp.array([1.0, 1.0, 0.0])
+    want = np.mean([np.log(2), np.log1p(np.exp(-2.0)),
+                    np.log1p(np.exp(-2.0))])
+    np.testing.assert_allclose(float(bce_with_logits(logits, targets)), want,
+                               rtol=1e-6)
+
+    cls_logits = jnp.array([[2.0, 0.0], [0.0, 2.0]])
+    labels = jnp.array([0, 1])
+    want_ce = float(np.log(1 + np.exp(-2.0)))
+    np.testing.assert_allclose(float(softmax_ce(cls_logits, labels)), want_ce,
+                               rtol=1e-6)
+
+    np.testing.assert_allclose(
+        float(smooth_l1(jnp.array([0.5, 3.0]), jnp.array([0.0, 0.0]))),
+        np.mean([0.5 * 0.25, 2.5]), rtol=1e-6)
+
+
+def test_kl_pair_loss_sign():
+    h_same = jnp.ones((2, 4, 8))
+    # identical features -> zero kl
+    np.testing.assert_allclose(
+        float(kl_pair_loss(h_same, h_same, jnp.array([1.0, 0.0]))), 0.0,
+        atol=1e-6)
+
+
+def test_triplet_loss_zero_when_far_negatives():
+    rng = jax.random.PRNGKey(0)
+    h1 = jnp.zeros((2, 4))
+    h2 = jnp.zeros((2, 4))          # anchor == positive -> d_ap = 0
+    # all other ids equal -> negatives sampled from other rows that are far
+    h1 = h1.at[1].set(100.0)
+    h2 = h2.at[1].set(100.0)
+    loss = triplet_loss(rng, h1, h2, jnp.array([1, 2]), jnp.array([1, 2]),
+                        match=jnp.array([1.0, 1.0]), sample_num=3, margin=0.2)
+    # d_ap=0, d_an >= 100 >> margin -> loss 0
+    np.testing.assert_allclose(float(loss), 0.0, atol=1e-5)
+
+
+def test_reid_losses_aggregate():
+    model = tiny_model()
+    batch = make_batch(jax.random.PRNGKey(0))
+    batch["dense_1"] = jax.random.normal(jax.random.PRNGKey(5), (B, 64, 3))
+    batch["dense_2"] = jax.random.normal(jax.random.PRNGKey(6), (B, 64, 3))
+    v = model.init(jax.random.PRNGKey(1), batch, train=False)
+    out = model.apply(v, batch, train=False)
+    total, log = reid_losses(
+        out, batch, losses_to_use=dict(match=True, kl=True, triplet=True),
+        alpha=dict(match=2.0), rng=jax.random.PRNGKey(7))
+    assert np.isfinite(float(total))
+    # alpha scaling: match_loss already includes the 2x weight
+    assert "match_loss" in log and "kl_loss" in log and "triplet_loss" in log
+    np.testing.assert_allclose(
+        float(total),
+        float(log["match_loss"] + log["kl_loss"] + log["triplet_loss"]),
+        rtol=1e-5)
