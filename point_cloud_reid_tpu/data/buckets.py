@@ -84,7 +84,13 @@ class DensityBuckets:
     def class_list_at_density(self, class_key: str, density: int
                               ) -> Tuple[List[Tuple[str, int]], int]:
         """Nearest bucket (down-then-up) of this class with >= 2 candidate
-        objects (get_class_list_density, object_loader_base.py:217-238)."""
+        objects (get_class_list_density, object_loader_base.py:217-238).
+
+        Design delta: the reference raises when no single bucket holds >= 2
+        objects; we fall back to the union of all buckets of the class (losing
+        density matching but keeping small datasets usable) and only raise when
+        the class has < 2 objects outright.
+        """
         cb = self.class_buckets.get(class_key, {})
         d = density
         while len(cb.get(d, [])) <= 1:
@@ -94,8 +100,14 @@ class DensityBuckets:
                 while len(cb.get(d, [])) <= 1:
                     d += 1
                     if d >= len(POW2_BUCKETS):
+                        merged: Dict[str, int] = {}
+                        for lst in cb.values():
+                            for obj, n in lst:
+                                merged[obj] = merged.get(obj, 0) + n
+                        if len(merged) >= 2:
+                            return sorted(merged.items()), density
                         raise LookupError(
-                            f"class {class_key} has no bucket with >=2 objects")
+                            f"class {class_key} has <2 objects")
                 break
         return cb[d], d
 

@@ -16,10 +16,11 @@ not in subclasses:
                    reidentification_base.py:361-425)
 
 Design deltas from the reference (documented, deliberate):
-  * RNG is an explicit np.random.RandomState per dataset/epoch instead of the
-    global numpy stream — reproducible without process-global seeding; val pair
-    lists can be dumped to JSON for cross-framework parity (SURVEY.md §7 hard
-    part 2 recommends freezing them as artifacts).
+  * RNG is derived per (seed, epoch, index) instead of the global numpy
+    stream — every sample is a pure function of its index, so multithreaded
+    loading is deterministic and order-independent; val pair lists can be
+    dumped to JSON for cross-framework parity (SURVEY.md §7 hard part 2
+    recommends freezing them as artifacts).
   * The reference's visibility swap bug (return_item_size_vis assigns v2 to
     vis_1, reidentification_base.py:471) is not carried.
   * `mode='image'` folds the ReIDDataset*Image* subclasses into the same class.
@@ -72,7 +73,9 @@ class PairDataset:
         self.subsample_sparse = subsample_sparse
         self.subsample_dense = subsample_dense
         self.mode = mode
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0
+        self.rng = np.random.RandomState(seed)  # construction-time draws only
 
         self.frames = store.frame_index()
 
@@ -115,7 +118,14 @@ class PairDataset:
     def set_epoch(self, epoch: int, seed: int = 0):
         """Reseed per epoch (CustomEpochBasedRunner.set_epoch +
         ShuffleDatasetHook semantics, shuffle_dataset_hook.py:24-31)."""
-        self.rng = np.random.RandomState(seed + epoch)
+        self.epoch = epoch
+        self.seed = seed
+
+    def _sample_rng(self, i: int) -> np.random.RandomState:
+        """Counter-based per-sample stream: a pure function of
+        (seed, epoch, index), so thread scheduling can't perturb it."""
+        return np.random.RandomState(
+            (self.seed * 1000003 + self.epoch * 8191 + i) % (2 ** 31 - 1))
 
     def _int_id(self, tok: str) -> int:
         """Stable int identity; -1 for FP objects (the reference maps FP dense
@@ -129,50 +139,68 @@ class PairDataset:
             return self.store.load_image(tok, frame)
         return self.store.load_points(tok, frame)
 
-    def _negative_object(self, pos_tok: str, label: int
-                         ) -> Tuple[str, int, int]:
+    def _negative_object(self, rng: np.random.RandomState, pos_tok: str,
+                         label: int) -> Tuple[str, int, int]:
         """Density-matched negative draw (get_random_other_even_train,
         reidentification_base.py:319-359): density from the positive object's
         own distribution; 50% same-class TP / 50% same-class FP."""
-        density = self.buckets.sample_density(self.rng, pos_tok)
-        if self.rng.randint(2) == 1:
+        density = self.buckets.sample_density(rng, pos_tok)
+        cls2, cands, density = self._negative_candidates(rng, label, density)
+        other = pos_tok
+        while other == pos_tok:
+            other = cands[rng.randint(len(cands))][0]
+        return other, cls2, density
+
+    def _negative_candidates(self, rng: np.random.RandomState, label: int,
+                             density: int):
+        """Coin-flip TP/FP class, then candidate objects at a matched density.
+
+        Design delta: the reference hard-raises when the chosen class has <2
+        candidate objects in any bucket (get_random_other_even_train,
+        reidentification_base.py:336-342); we fall back to the same-class TP
+        pool so small/synthetic datasets stay usable.
+        """
+        if rng.randint(2) == 1:
             cls2 = label
         else:
             cls2 = label + len(self.classes)
-        class_key = self.idx_to_cls_fp[cls2]
-        cands, density = self.buckets.class_list_at_density(class_key, density)
-        other = pos_tok
-        while other == pos_tok:
-            other = cands[self.rng.randint(len(cands))][0]
-        return other, cls2, density
+        try:
+            cands, density = self.buckets.class_list_at_density(
+                self.idx_to_cls_fp[cls2], density)
+        except LookupError:
+            cls2 = label
+            cands, density = self.buckets.class_list_at_density(
+                self.idx_to_cls_fp[cls2], density)
+        return cls2, cands, density
 
     def sample(self, i: int) -> Dict[str, Any]:
         """One training pair (ReIDDatasetNuscenesFP.__getitem__,
         reidentification_nuscenes.py:37-72)."""
+        rng = self._sample_rng(i)
         tok1 = self.tp_tokens[i % len(self.tp_tokens)]
         l1 = int(self.tp_labels[i % len(self.tp_tokens)])
         id1 = self._int_id(tok1)
         d1 = self.complete_store.load_complete(tok1)
 
-        if self.rng.randint(2) == 1:                       # positive pair
-            f1, f2 = self.rng.choice(self.frames[tok1], 2, replace=False)
+        if rng.randint(2) == 1:                            # positive pair
+            f1, f2 = rng.choice(self.frames[tok1], 2, replace=False)
             s1 = self._load_sparse(tok1, f1)
             s2 = self._load_sparse(tok1, f2)
             tok2, l2, id2, d2 = tok1, l1, id1, d1
         else:                                              # negative pair
-            f1 = self.rng.choice(self.frames[tok1])
+            f1 = rng.choice(self.frames[tok1])
             s1 = self._load_sparse(tok1, f1)
-            tok2, l2, density = self._negative_object(tok1, l1)
+            tok2, l2, density = self._negative_object(rng, tok1, l1)
             if self.store.objects[tok2].is_fp:
-                d2 = self.rng.randn(self.subsample_dense, 3).astype(np.float32)
+                d2 = rng.randn(self.subsample_dense, 3).astype(np.float32)
                 id2 = -1
             else:
                 d2 = self.complete_store.load_complete(tok2)
                 id2 = self._int_id(tok2)
-            f2 = self.buckets.random_frame_in_bucket(self.rng, tok2, density)
+            f2 = self.buckets.random_frame_in_bucket(rng, tok2, density)
             s2 = self._load_sparse(tok2, f2)
 
-        return self._item(s1, s2, d1, d2, l1, l2, id1, id2,
+        return self._item(rng, s1, s2, d1, d2, l1, l2, id1, id2,
                           vis=(self._vis(tok1, f1), self._vis(tok2, f2)))
 
     def _vis(self, tok: str, frame: str) -> int:
@@ -181,13 +209,13 @@ class PairDataset:
         # (vis_to_cls_id, reidentification_nuscenes.py:29)
         return int(v) - 1 if int(v) in (1, 2, 3, 4) else -1
 
-    def _item(self, s1, s2, d1, d2, l1, l2, id1, id2, vis=(-1, -1)):
+    def _item(self, rng, s1, s2, d1, d2, l1, l2, id1, id2, vis=(-1, -1)):
         size_1, size_2 = s1.shape[0], s2.shape[0]
         if self.mode == "points":
-            s1 = subsample_pc_np(self.rng, s1, self.subsample_sparse)
-            s2 = subsample_pc_np(self.rng, s2, self.subsample_sparse)
-            d1 = subsample_pc_np(self.rng, d1, self.subsample_dense)
-            d2 = subsample_pc_np(self.rng, d2, self.subsample_dense)
+            s1 = subsample_pc_np(rng, s1, self.subsample_sparse)
+            s2 = subsample_pc_np(rng, s2, self.subsample_sparse)
+            d1 = subsample_pc_np(rng, d1, self.subsample_dense)
+            d2 = subsample_pc_np(rng, d2, self.subsample_dense)
             item = dict(sparse_1=s1, sparse_2=s2, dense_1=d1, dense_2=d2)
         else:
             size_1 = size_2 = self.subsample_sparse  # image tokens are fixed
@@ -237,13 +265,8 @@ class ValEvenPairs(PairDataset):
 
     def _negative_even(self, pos_tok: str, label: int, pts: int
                        ) -> Tuple[str, int, str]:
-        b = bucket_of(pts)
-        if self.rng.randint(2) == 1:
-            cls2 = label
-        else:
-            cls2 = label + len(self.classes)
-        class_key = self.idx_to_cls_fp[cls2]
-        cands, b = self.buckets.class_list_at_density(class_key, b)
+        cls2, cands, b = self._negative_candidates(self.rng, label,
+                                                   bucket_of(pts))
         other = pos_tok
         while other == pos_tok:
             other = cands[self.rng.randint(len(cands))][0]
@@ -254,6 +277,7 @@ class ValEvenPairs(PairDataset):
         return 2 * len(self.val_positives)
 
     def sample(self, idx: int) -> Dict[str, Any]:
+        rng = self._sample_rng(idx)
         if idx < len(self.val_positives):
             x = self.val_positives[idx]
             tok = x["tok"]
@@ -261,7 +285,7 @@ class ValEvenPairs(PairDataset):
             s2 = self._load_sparse(tok, x["o2"])
             d1 = self.complete_store.load_complete(tok)
             i1 = self._int_id(tok)
-            return self._item(s1, s2, d1, d1, x["cls"], x["cls"], i1, i1,
+            return self._item(rng, s1, s2, d1, d1, x["cls"], x["cls"], i1, i1,
                               vis=(self._vis(tok, x["o1"]),
                                    self._vis(tok, x["o2"])))
         x = self.val_negatives[idx - len(self.val_positives)]
@@ -269,12 +293,12 @@ class ValEvenPairs(PairDataset):
         s2 = self._load_sparse(x["tok2"], x["o2"])
         d1 = self.complete_store.load_complete(x["tok1"])
         if self.store.objects[x["tok2"]].is_fp:
-            d2 = self.rng.randn(self.subsample_dense, 3).astype(np.float32)
+            d2 = rng.randn(self.subsample_dense, 3).astype(np.float32)
             id2 = -1
         else:
             d2 = self.complete_store.load_complete(x["tok2"])
             id2 = self._int_id(x["tok2"])
-        return self._item(s1, s2, d1, d2, x["cls1"], x["cls2"],
+        return self._item(rng, s1, s2, d1, d2, x["cls1"], x["cls2"],
                           self._int_id(x["tok1"]), id2,
                           vis=(self._vis(x["tok1"], x["o1"]),
                                self._vis(x["tok2"], x["o2"])))

@@ -151,8 +151,11 @@ class SyntheticStore:
                  num_classes: int = 10, fp_fraction: float = 0.25,
                  min_points: int = 5, seed: int = 0,
                  point_range: Tuple[int, int] = (8, 400),
-                 crop_size: Tuple[int, int] = (32, 32), with_images: bool = False):
+                 crop_size: Tuple[int, int] = (32, 32), with_images: bool = False,
+                 class_names: Optional[Sequence[str]] = None):
         rng = np.random.RandomState(seed)
+        if class_names is not None:
+            num_classes = len(class_names)
         self.min_points = min_points
         self.crop_size = tuple(crop_size)
         self.with_images = with_images
@@ -165,7 +168,13 @@ class SyntheticStore:
         for i in range(num_objects):
             is_fp = i < n_fp
             tok = (f"FP_obj{i:04d}" if is_fp else f"obj{i:04d}")
-            cls = int(rng.randint(num_classes))
+            # round-robin within each of the FP/TP groups so every class gets
+            # even coverage even in tiny test datasets; FP objects span only
+            # as many classes as allows >=2 objects per FP class
+            if is_fp:
+                cls = i % max(1, min(num_classes, n_fp // 2))
+            else:
+                cls = (i - n_fp) % num_classes
             scale = 0.5 + rng.rand(3) * 2.0          # per-object signature
             base = rng.randn(64, 3) * scale           # canonical shape
             num_pts, vis = {}, {}
@@ -183,7 +192,10 @@ class SyntheticStore:
                     im += scale[:, None, None]         # per-object signature
                     self._images[(tok, frame)] = im
             self.objects[tok] = ObjectRecord(
-                id=tok, class_name=f"class_{cls}", path=tok,
+                id=tok,
+                class_name=(class_names[cls] if class_names is not None
+                            else f"class_{cls}"),
+                path=tok,
                 num_pts=num_pts, visibility=vis)
             self._complete[tok] = (base + rng.randn(64, 3) * 0.02).astype(
                 np.float32)

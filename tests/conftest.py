@@ -19,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# sitecustomize may have imported jax at interpreter startup with
+# JAX_PLATFORMS=axon already baked into the config — override post-import
+# (legal until the first backend is initialized).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # This environment is single-core; persistent compilation cache makes re-runs cheap.
 os.makedirs("/root/.cache/jax_comp", exist_ok=True)

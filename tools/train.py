@@ -16,7 +16,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -56,7 +59,7 @@ def build_all(cfg, args):
     else:
         store = SyntheticStore(
             num_objects=args.synthetic_objects,
-            num_classes=dcfg["num_classes"],
+            class_names=list(dcfg["train"]["classes"]),
             with_images=(dcfg["train"]["mode"] == "image"),
             crop_size=(224, 224) if dcfg["train"]["mode"] == "image"
             else (32, 32))
