@@ -23,6 +23,28 @@ from ..ops.attention import full_attention, linear_attention
 from .layers import PosMLP
 
 
+def _attn_fn(kind: str):
+    """Dispatch the attention primitive by config string.
+
+    'linear'        — XLA linear attention (default, mask-capable).
+    'linear-pallas' — fused VMEM-resident Pallas kernel (ops.pallas); falls
+                      back to the XLA path when masks are supplied.
+    'full'          — softmax attention.
+    """
+    if kind == "linear":
+        return linear_attention
+    if kind == "linear-pallas":
+        from ..ops.pallas import linear_attention_pallas
+
+        def attn(q, k, v, q_mask=None, kv_mask=None):
+            if q_mask is None and kv_mask is None:
+                return linear_attention_pallas(q, k, v)
+            return linear_attention(q, k, v, q_mask=q_mask, kv_mask=kv_mask)
+
+        return attn
+    return full_attention
+
+
 def _split_heads(x: jnp.ndarray, nhead: int) -> jnp.ndarray:
     B, N, C = x.shape
     return x.reshape(B, N, nhead, C // nhead)
@@ -59,7 +81,7 @@ class SelfAttentionBlock(nn.Module):
         v = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
                                   name="v_proj")(feat_pos), self.nhead)
 
-        attn = linear_attention if self.attention == "linear" else full_attention
+        attn = _attn_fn(self.attention)
         msg = _merge_heads(attn(q, k, v, q_mask=mask, kv_mask=mask))
         msg = nn.Dense(d, use_bias=False, dtype=self.dtype, name="merge")(msg)
         msg = nn.LayerNorm(dtype=self.dtype, name="norm1")(msg)
@@ -99,7 +121,7 @@ class CrossAttentionBlock(nn.Module):
         v = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
                                   name="v_proj")(template_pos), self.nhead)
 
-        attn = linear_attention if self.attention == "linear" else full_attention
+        attn = _attn_fn(self.attention)
         msg = _merge_heads(attn(q, k, v))
         msg = nn.Dense(d, use_bias=False, dtype=self.dtype, name="merge")(msg)
         msg = nn.LayerNorm(dtype=self.dtype, name="norm1")(msg)
@@ -134,7 +156,7 @@ class CrossLinAttn(nn.Module):
         v = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
                                   name="v_proj")(template_feat), self.nhead)
 
-        attn = linear_attention if self.attention == "linear" else full_attention
+        attn = _attn_fn(self.attention)
         msg = _merge_heads(attn(q, k, v))
         msg = nn.Dense(d, use_bias=False, dtype=self.dtype, name="merge")(msg)
         msg = nn.LayerNorm(dtype=self.dtype, name="norm1")(msg)
@@ -189,7 +211,7 @@ class LocalSelfAttention(nn.Module):
         vv = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
                       name="v_proj_knn")(neigh).reshape(B * N, k, self.nhead, -1)
 
-        attn = linear_attention if self.attention == "linear" else full_attention
+        attn = _attn_fn(self.attention)
         msg = attn(q, kk, vv).reshape(B * N, 1, self.d_model)
         msg = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
                        name="merge_knn")(msg)
@@ -237,7 +259,7 @@ class FPSA(nn.Module):
         v = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
                                   name="v_proj")(feat2_pos), self.nhead)
 
-        attn = linear_attention if self.attention == "linear" else full_attention
+        attn = _attn_fn(self.attention)
         msg = _merge_heads(attn(q, k, v))
         msg = nn.Dense(d, use_bias=False, dtype=self.dtype, name="merge")(msg)
         msg = nn.LayerNorm(dtype=self.dtype, name="norm1")(msg)

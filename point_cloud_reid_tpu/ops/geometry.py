@@ -68,10 +68,15 @@ def knn_indices(
         method: 'argsort' reproduces the reference's stable-argsort tie-breaking
             (pointnet2_utils.py:190-216, used by all released checkpoints);
             'topk' uses lax.top_k (faster on TPU, may break ties differently for
-            duplicated points after resample-with-replacement).
+            duplicated points after resample-with-replacement);
+            'pallas' uses the fused VMEM-resident kernel (ops.pallas.knn_pallas,
+            same tie-breaking as 'argsort').
     Returns:
         (B, S, nsample) int32 neighbor indices.
     """
+    if method == "pallas":
+        from .pallas import knn_pallas
+        return knn_pallas(new_xyz, xyz, nsample)
     d = square_distance(new_xyz, xyz)
     if method == "argsort":
         idx = jnp.argsort(d, axis=-1, stable=True)[..., :nsample]
