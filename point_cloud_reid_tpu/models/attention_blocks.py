@@ -84,13 +84,13 @@ class SelfAttentionBlock(nn.Module):
         attn = _attn_fn(self.attention)
         msg = _merge_heads(attn(q, k, v, q_mask=mask, kv_mask=mask))
         msg = nn.Dense(d, use_bias=False, dtype=self.dtype, name="merge")(msg)
-        msg = nn.LayerNorm(dtype=self.dtype, name="norm1")(msg)
+        msg = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(msg)
 
         h = jnp.concatenate([feat, msg], axis=-1)
         h = nn.Dense(2 * d, use_bias=False, dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.relu(h)
         h = nn.Dense(d, use_bias=False, dtype=self.dtype, name="mlp_fc2")(h)
-        msg = nn.LayerNorm(dtype=self.dtype, name="norm2")(h)
+        msg = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
 
         return feat + msg
 
@@ -124,13 +124,13 @@ class CrossAttentionBlock(nn.Module):
         attn = _attn_fn(self.attention)
         msg = _merge_heads(attn(q, k, v))
         msg = nn.Dense(d, use_bias=False, dtype=self.dtype, name="merge")(msg)
-        msg = nn.LayerNorm(dtype=self.dtype, name="norm1")(msg)
+        msg = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(msg)
 
         h = jnp.concatenate([search_feat, msg], axis=-1)
         h = nn.Dense(2 * d, use_bias=False, dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.relu(h)
         h = nn.Dense(d, use_bias=False, dtype=self.dtype, name="mlp_fc2")(h)
-        msg = nn.LayerNorm(dtype=self.dtype, name="norm2")(h)
+        msg = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
 
         return search_feat + msg
 
@@ -159,13 +159,13 @@ class CrossLinAttn(nn.Module):
         attn = _attn_fn(self.attention)
         msg = _merge_heads(attn(q, k, v))
         msg = nn.Dense(d, use_bias=False, dtype=self.dtype, name="merge")(msg)
-        msg = nn.LayerNorm(dtype=self.dtype, name="norm1")(msg)
+        msg = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(msg)
 
         h = jnp.concatenate([search_feat, msg], axis=-1)
         h = nn.Dense(2 * d, use_bias=False, dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.relu(h)
         h = nn.Dense(d, use_bias=False, dtype=self.dtype, name="mlp_fc2")(h)
-        msg = nn.LayerNorm(dtype=self.dtype, name="norm2")(h)
+        msg = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
 
         return search_feat + msg
 
@@ -215,7 +215,7 @@ class LocalSelfAttention(nn.Module):
         msg = attn(q, kk, vv).reshape(B * N, 1, self.d_model)
         msg = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
                        name="merge_knn")(msg)
-        msg = nn.LayerNorm(dtype=self.dtype, name="norm1_knn")(msg)
+        msg = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1_knn")(msg)
 
         center_flat = search_feat.reshape(B * N, 1, C)
         h = jnp.concatenate([center_flat, msg], axis=-1)
@@ -224,7 +224,7 @@ class LocalSelfAttention(nn.Module):
         h = nn.relu(h)
         h = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
                      name="mlp_knn_fc2")(h)
-        msg = nn.LayerNorm(dtype=self.dtype, name="norm2_knn")(h)
+        msg = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2_knn")(h)
 
         return (center_flat + msg).reshape(B, N, self.d_model)
 
@@ -262,11 +262,11 @@ class FPSA(nn.Module):
         attn = _attn_fn(self.attention)
         msg = _merge_heads(attn(q, k, v))
         msg = nn.Dense(d, use_bias=False, dtype=self.dtype, name="merge")(msg)
-        msg = nn.LayerNorm(dtype=self.dtype, name="norm1")(msg)
+        msg = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(msg)
 
         h = jnp.concatenate([feat1, msg], axis=-1)
         h = nn.Dense(2 * d, use_bias=False, dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.relu(h)
         h = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
                      name="mlp_fc2")(h)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(h)

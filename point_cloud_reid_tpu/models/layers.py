@@ -41,7 +41,7 @@ class LinearRes(nn.Module):
 
         def make_norm(name):
             if self.norm == "GN":
-                return nn.GroupNorm(num_groups=gcd(self.ng, self.n_out), name=name,
+                return nn.GroupNorm(num_groups=gcd(self.ng, self.n_out), epsilon=1e-5, name=name,
                                     dtype=self.dtype)
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, name=name, dtype=self.dtype)
@@ -131,7 +131,7 @@ class LinearGN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.n_out, use_bias=False, dtype=self.dtype, name="linear")(x)
-        x = nn.GroupNorm(num_groups=gcd(self.ng, self.n_out), dtype=self.dtype,
+        x = nn.GroupNorm(num_groups=gcd(self.ng, self.n_out), epsilon=1e-5, dtype=self.dtype,
                          name="norm")(x)
         return nn.relu(x) if self.act else x
 
@@ -152,7 +152,7 @@ class PostRes(nn.Module):
 
         def make_norm(name):
             if self.norm == "GN":
-                return nn.GroupNorm(num_groups=gcd(self.ng, self.n_out), name=name,
+                return nn.GroupNorm(num_groups=gcd(self.ng, self.n_out), epsilon=1e-5, name=name,
                                     dtype=self.dtype)
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, name=name, dtype=self.dtype)

@@ -56,10 +56,10 @@ class SequentialHead(nn.Module):
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype, name=name)(x)
             elif t == "GroupNorm":
-                x = nn.GroupNorm(num_groups=spec["num_groups"], dtype=self.dtype,
+                x = nn.GroupNorm(num_groups=spec["num_groups"], epsilon=1e-5, dtype=self.dtype,
                                  name=name)(x)
             elif t == "LayerNorm":
-                x = nn.LayerNorm(dtype=self.dtype, name=name)(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)(x)
             elif t == "ReLU":
                 x = nn.relu(x)
             elif t == "Sigmoid":
