@@ -1,0 +1,138 @@
+"""Per-frame tracking orchestration.
+
+Equivalent of the reference TrackingManager / VirtualTracker step loop
+(trackers/deprecated/tracking_manager.py:221-533,
+virtual_tracker.py:433-933): per frame — extract per-box crops, embed new
+detections once, score the full tracks x detections grid through the ReID
+match head, gate by class + BEV distance, associate, and update track
+lifecycle. The device side (crops, embeddings, cost matrix) is three jitted
+programs per frame; everything else is tiny host numpy.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..inference import FeatureCache, PairScorer
+from ..ops import nms_bev
+from .association import associate, center_distance_gate
+from .crops import extract_box_crops
+from .track import Track, TrackStore
+
+
+class TrackingManager:
+    """ReID-driven 3D MOT.
+
+    Args:
+        scorer: inference.PairScorer over a trained ReIDNet.
+        subsample_number: points per crop (128 in released configs).
+        match_threshold: max association cost; cost = 1 - sigmoid(logit).
+        max_distance: BEV center gate radius per frame (Center2DRange
+            distance=2, virtual_tracker.py:34).
+        method: 'greedy' | 'hungarian'.
+        max_age / min_hits: track lifecycle (tentative-track suppression).
+        nms_threshold: optional BEV-IoU NMS on incoming detections
+            (tracking_manager.non_max_suppression, :172-192).
+    """
+
+    def __init__(self, scorer: PairScorer, subsample_number: int = 128,
+                 match_threshold: float = 0.7, max_distance: float = 2.0,
+                 method: str = "greedy", max_age: int = 3, min_hits: int = 1,
+                 nms_threshold: Optional[float] = None, seed: int = 0):
+        self.scorer = scorer
+        self.subsample_number = subsample_number
+        self.match_threshold = match_threshold
+        self.max_distance = max_distance
+        self.method = method
+        self.nms_threshold = nms_threshold
+        self.store = TrackStore(max_age=max_age, min_hits=min_hits)
+        self.cache = FeatureCache()
+        self.timestep = -1
+        self._rng = jax.random.PRNGKey(seed)
+
+    def reset(self):
+        """New scene (VirtualTracker.reset)."""
+        self.store = TrackStore(max_age=self.store.max_age,
+                                min_hits=self.store.min_hits)
+        self.cache = FeatureCache()
+        self.timestep = -1
+
+    def _next_rng(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def step(self, points: np.ndarray, det_boxes: np.ndarray,
+             det_scores: np.ndarray, det_labels: np.ndarray
+             ) -> List[Track]:
+        """Process one frame; returns the confirmed tracks.
+
+        Args:
+            points: (N, 3+) lidar sweep in the common frame.
+            det_boxes: (D, 7) detections [cx cy cz dx dy dz yaw].
+            det_scores: (D,) detector confidences.
+            det_labels: (D,) int class ids.
+        """
+        self.timestep += 1
+        det_boxes = np.asarray(det_boxes, np.float32).reshape(-1, 7)
+        det_scores = np.asarray(det_scores, np.float32).reshape(-1)
+        det_labels = np.asarray(det_labels, np.int64).reshape(-1)
+
+        if self.nms_threshold is not None and len(det_boxes) > 1:
+            keep = np.asarray(nms_bev(jnp.asarray(det_boxes),
+                                      jnp.asarray(det_scores),
+                                      self.nms_threshold))
+            keep = keep[keep >= 0]
+            det_boxes, det_scores, det_labels = (
+                det_boxes[keep], det_scores[keep], det_labels[keep])
+
+        D = len(det_boxes)
+        if D == 0:
+            for t in self.store.tracks.values():
+                t.missed()
+            self.cache.drop(self.store.prune())
+            return self.store.outputs()
+
+        # device: crops + embeddings for all detections at once
+        crops, _ = extract_box_crops(self._next_rng(), jnp.asarray(points),
+                                     jnp.asarray(det_boxes),
+                                     self.subsample_number)
+        xyz_d, h_d = self.scorer.embed(crops)
+
+        active = self.store.active()
+        if active:
+            track_ids = [t.track_id for t in active]
+            h_t, xyz_t = self.cache.gather(track_ids)
+            logits = self.scorer.cost_matrix(
+                h_t, xyz_t, h_d, xyz_d,
+                track_classes=np.array([t.cls for t in active]),
+                det_classes=det_labels)
+            cost = 1.0 - jax.nn.sigmoid(logits)
+            cost = np.asarray(cost)
+
+            pred_boxes = np.stack([t.predict(self.timestep) for t in active])
+            gate = center_distance_gate(pred_boxes, det_boxes,
+                                        self.max_distance)
+            matches, unmatched_t, unmatched_d = associate(
+                cost, threshold=self.match_threshold, method=self.method,
+                gate=gate)
+        else:
+            matches, unmatched_t, unmatched_d = [], [], list(range(D))
+
+        for ti, di in matches:
+            t = active[ti]
+            t.update(det_boxes[di], det_scores[di], self.timestep)
+            self.cache.update([t.track_id], h_d[di:di + 1],
+                              xyz_d[di:di + 1] if xyz_d is not None else None)
+        for ti in unmatched_t:
+            active[ti].missed()
+        for di in unmatched_d:
+            t = self.store.new_track(det_labels[di], det_boxes[di],
+                                     det_scores[di], self.timestep)
+            self.cache.update([t.track_id], h_d[di:di + 1],
+                              xyz_d[di:di + 1] if xyz_d is not None else None)
+
+        self.cache.drop(self.store.prune())
+        return self.store.outputs()

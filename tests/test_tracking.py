@@ -1,0 +1,202 @@
+"""Tracking subsystem: crops, association, supervision, end-to-end identity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from point_cloud_reid_tpu.tracking import (TrackingManager, TrackStore,
+                                           associate, association_margin_loss,
+                                           center_distance_gate,
+                                           extract_box_crops,
+                                           sigmoid_focal_loss,
+                                           softmax_association_loss)
+
+
+def test_extract_box_crops_membership_and_centering():
+    rng = np.random.RandomState(0)
+    # box at (5, 5, 0), size 2x2x2, yaw 0; 50 points inside, 100 far away
+    inside = rng.uniform(-0.9, 0.9, (50, 3)) + np.array([5.0, 5.0, 0.0])
+    outside = rng.uniform(20, 30, (100, 3))
+    pts = np.concatenate([inside, outside]).astype(np.float32)
+    boxes = np.array([[5, 5, 0, 2, 2, 2, 0.0],
+                      [100, 100, 0, 2, 2, 2, 0.0]], np.float32)
+    crops, counts = extract_box_crops(jax.random.PRNGKey(0), jnp.asarray(pts),
+                                      jnp.asarray(boxes), subsample_number=64)
+    counts = np.asarray(counts)
+    assert counts[0] == 50 and counts[1] == 0
+    c0 = np.asarray(crops[0])
+    assert np.all(np.abs(c0) <= 1.0 + 1e-5)          # centered in box frame
+    assert np.all(np.asarray(crops[1]) == 0)         # empty box -> zeros
+
+
+def test_extract_box_crops_yaw():
+    # point at angle yaw from center must land on the +x axis in box frame
+    yaw = 0.7
+    center = np.array([1.0, 2.0, 0.0])
+    p = center + np.array([np.cos(yaw), np.sin(yaw), 0.0]) * 0.5
+    pts = np.tile(p, (10, 1)).astype(np.float32)
+    boxes = np.array([[*center, 2, 2, 2, yaw]], np.float32)
+    crops, counts = extract_box_crops(jax.random.PRNGKey(1), jnp.asarray(pts),
+                                      jnp.asarray(boxes), subsample_number=8)
+    assert int(counts[0]) == 10
+    np.testing.assert_allclose(np.asarray(crops[0][0]), [0.5, 0.0, 0.0],
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["greedy", "hungarian"])
+def test_associate(method):
+    cost = np.array([[0.1, 0.9, 0.8],
+                     [0.9, 0.2, 0.85],
+                     [0.9, 0.9, 0.95]])
+    matches, ut, ud = associate(cost, threshold=0.5, method=method)
+    assert sorted(matches) == [(0, 0), (1, 1)]
+    assert ut == [2] and ud == [2]
+
+
+def test_associate_gate():
+    cost = np.array([[0.1, 0.2]])
+    gate = np.array([[False, True]])
+    matches, _, _ = associate(cost, threshold=0.5, gate=gate)
+    assert matches == [(0, 1)]
+
+
+def test_center_distance_gate():
+    tb = np.array([[0, 0, 0, 1, 1, 1, 0]], np.float32)
+    db = np.array([[1, 0, 0, 1, 1, 1, 0], [5, 0, 0, 1, 1, 1, 0]], np.float32)
+    g = center_distance_gate(tb, db, max_distance=2.0)
+    assert g.tolist() == [[True, False]]
+
+
+def test_focal_loss_reduces_easy_examples():
+    logits = jnp.array([4.0, -4.0])       # confident & correct
+    targets = jnp.array([1.0, 0.0])
+    easy = sigmoid_focal_loss(logits, targets)
+    hard = sigmoid_focal_loss(-logits, targets)
+    assert float(easy) < float(hard)
+
+
+def test_margin_loss_zero_when_separated():
+    cost = jnp.array([[0.0, 1.0], [1.0, 0.0]])
+    gt = jnp.array([0, 1])
+    assert float(association_margin_loss(cost, gt, margin=0.2)) == 0.0
+    # violation when gt pair is not the cheapest by margin
+    bad = jnp.array([[0.5, 0.45], [1.0, 0.0]])
+    assert float(association_margin_loss(bad, gt, margin=0.2)) > 0.0
+
+
+def test_softmax_association_none_bucket():
+    logits = jnp.array([[5.0, -5.0]])
+    good = softmax_association_loss(logits, jnp.array([0]))
+    none = softmax_association_loss(logits, jnp.array([-1]))
+    assert float(good) < float(none)
+
+
+class _MockScorer:
+    """Distance-based stand-in for PairScorer: embeds a crop as its centroid;
+    pairs with near-identical centroids score high."""
+
+    def embed(self, crops):
+        h = jnp.mean(crops, axis=1, keepdims=True)        # (B, 1, 3)
+        return crops[:, :1, :], h
+
+    def cost_matrix(self, h_t, xyz_t, h_d, xyz_d, track_classes=None,
+                    det_classes=None, pad=True):
+        d = jnp.linalg.norm(h_t[:, 0, None, :] - h_d[None, :, 0, :], axis=-1)
+        logits = 8.0 - 16.0 * d
+        if track_classes is not None and det_classes is not None:
+            ok = (np.asarray(track_classes)[:, None]
+                  == np.asarray(det_classes)[None, :])
+            logits = jnp.where(jnp.asarray(ok), logits, -jnp.inf)
+        return logits
+
+
+def _frame_points(rng, centers):
+    pts = []
+    for c in centers:
+        pts.append(rng.normal(scale=0.3, size=(40, 3)) * [1, 1, 0.2] + c)
+    return np.concatenate(pts).astype(np.float32)
+
+
+def test_tracking_end_to_end_identity():
+    """Two objects crossing over 6 frames keep their ids; a third appears."""
+    rng = np.random.RandomState(5)
+    mgr = TrackingManager(_MockScorer(), subsample_number=32,
+                          match_threshold=0.9, max_distance=3.0)
+    traj_a = [np.array([0.0 + 0.5 * t, 0.0, 0.0]) for t in range(6)]
+    traj_b = [np.array([10.0 - 0.5 * t, 1.0, 0.0]) for t in range(6)]
+
+    ids_a, ids_b = [], []
+    for t in range(6):
+        centers = [traj_a[t], traj_b[t]]
+        boxes = np.array([[*traj_a[t], 2, 2, 2, 0.0],
+                          [*traj_b[t], 2, 2, 2, 0.0]], np.float32)
+        labels = np.array([0, 0])
+        if t >= 4:   # new object appears
+            c = np.array([20.0, 20.0, 0.0])
+            centers.append(c)
+            boxes = np.concatenate([boxes, [[*c, 2, 2, 2, 0.0]]]).astype(
+                np.float32)
+            labels = np.array([0, 0, 1])
+        pts = _frame_points(rng, centers)
+        tracks = mgr.step(pts, boxes, np.ones(len(boxes), np.float32), labels)
+        by_pos = sorted(tracks, key=lambda tr: tr.box[0])
+        a = min(tracks, key=lambda tr: np.linalg.norm(tr.box[:3] - traj_a[t]))
+        b = min(tracks, key=lambda tr: np.linalg.norm(tr.box[:3] - traj_b[t]))
+        ids_a.append(a.track_id)
+        ids_b.append(b.track_id)
+
+    assert len(set(ids_a)) == 1, f"track A id switched: {ids_a}"
+    assert len(set(ids_b)) == 1, f"track B id switched: {ids_b}"
+    assert ids_a[0] != ids_b[0]
+    assert len(mgr.store.tracks) == 3
+
+
+def test_tracking_death():
+    mgr = TrackingManager(_MockScorer(), subsample_number=16,
+                          match_threshold=0.9, max_age=1)
+    rng = np.random.RandomState(6)
+    c = np.array([0.0, 0.0, 0.0])
+    boxes = np.array([[*c, 2, 2, 2, 0.0]], np.float32)
+    mgr.step(_frame_points(rng, [c]), boxes, np.ones(1), np.zeros(1))
+    assert len(mgr.store) == 1
+    # object disappears; after max_age+1 empty frames the track is pruned
+    for _ in range(3):
+        mgr.step(np.zeros((0, 3), np.float32), np.zeros((0, 7)),
+                 np.zeros(0), np.zeros(0))
+    assert len(mgr.store) == 0 and len(mgr.cache) == 0
+
+
+def test_tracking_manager_with_real_scorer():
+    """Smoke: a tiny untrained ReIDNet drives the full device path
+    (crops -> embed -> cost matrix) without shape errors."""
+    from point_cloud_reid_tpu.inference import PairScorer
+    from point_cloud_reid_tpu.models import build_model
+
+    mcfg = dict(
+        type="ReIDNet",
+        backbone=dict(type="Pointnet_Backbone", input_channels=0, use_xyz=True,
+                      conv_out=8, mul=1, nsample=[4, 4, 4]),
+        match_head=[dict(type="LinearRes", n_in=16, n_out=16, norm="GN", ng=8),
+                    dict(type="Linear", out_features=1)],
+        cross_stage1=dict(type="corss_attention", d_model=8, nhead=2),
+        cross_stage2=dict(type="corss_attention", d_model=8, nhead=2),
+        match_type="xcorr_eff", pool_type="both", combine="point-cat",
+        backbone_list=[8, 4, 2], output_sequence_size=8, hidden_size=16,
+    )
+    model = build_model(mcfg)
+    B, N = 2, 16
+    batch = dict(sparse_1=jnp.zeros((B, N, 3)), sparse_2=jnp.zeros((B, N, 3)),
+                 id_1=jnp.zeros((B,), jnp.int32), id_2=jnp.zeros((B,), jnp.int32))
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    scorer = PairScorer(model, variables)
+    mgr = TrackingManager(scorer, subsample_number=N, match_threshold=1.0,
+                          max_distance=5.0)
+
+    rng = np.random.RandomState(7)
+    for t in range(2):
+        centers = [np.array([0.5 * t, 0, 0]), np.array([5.0, 0, 0])]
+        boxes = np.array([[*c, 2, 2, 2, 0.0] for c in centers], np.float32)
+        pts = _frame_points(rng, centers)
+        tracks = mgr.step(pts, boxes, np.ones(2, np.float32),
+                          np.zeros(2, np.int64))
+    assert len(tracks) >= 1
