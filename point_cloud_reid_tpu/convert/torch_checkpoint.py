@@ -244,3 +244,53 @@ def convert_reidnet_state_dict(
     import jax.numpy as jnp
     new_vars = jax.tree_util.tree_map(jnp.asarray, new_vars)
     return new_vars, report
+
+
+def convert_image_reidnet_state_dict(
+    state_dict: Dict[str, np.ndarray],
+    variables: Dict[str, Any],
+    strict: bool = True,
+) -> Tuple[Dict[str, Any], Dict[str, List[str]]]:
+    """Convert a reference ImageReIDNet checkpoint (HF ViT backbone + match
+    stages/heads, ReIDNet.py:838-1397) into flax variables.
+
+    The HF backbone lives under 'backbone.' — and one level deeper under
+    'backbone.deit.' for DeiTForImageClassificationWithTeacher checkpoints
+    (get_image_model, ReIDNet.py:811-834); classifier heads of the teacher
+    model are dropped.
+    """
+    from .hf_vit import convert_hf_vit_state_dict
+
+    backbone_sd, rest_sd = {}, {}
+    for k, v in state_dict.items():
+        if k.startswith("backbone."):
+            kk = k[len("backbone."):]
+            if kk.startswith("deit."):
+                kk = kk[len("deit."):]
+            if kk.startswith(("cls_classifier", "distillation_classifier",
+                              "pooler.")):
+                continue
+            backbone_sd[kk] = v
+        else:
+            rest_sd[k] = v
+
+    import jax.numpy as jnp
+    new_backbone, unmatched_bb = convert_hf_vit_state_dict(
+        backbone_sd, variables["params"]["backbone"])
+
+    rest_vars = {c: ({k: v for k, v in t.items() if k != "backbone"}
+                     if c == "params" else t)
+                 for c, t in variables.items()}
+    new_vars, report = convert_reidnet_state_dict(
+        rest_sd, rest_vars, strict=False,
+        extra_skip_patterns=tuple(IMAGE_SKIP_PATTERNS))
+    report["unmatched_torch"].extend(unmatched_bb)
+    new_vars["params"]["backbone"] = jax.tree_util.tree_map(
+        jnp.asarray, new_backbone)
+
+    if strict and (report["unmatched_torch"] or report["unfilled_flax"]):
+        raise ValueError(
+            "image checkpoint conversion mismatch:\n  unmatched:\n    "
+            + "\n    ".join(report["unmatched_torch"][:20])
+            + "\n  unfilled:\n    " + "\n    ".join(report["unfilled_flax"][:20]))
+    return new_vars, report

@@ -167,11 +167,25 @@ class PairDataset:
         try:
             cands, density = self.buckets.class_list_at_density(
                 self.idx_to_cls_fp[cls2], density)
+            return cls2, cands, density
         except LookupError:
+            pass
+        try:
             cls2 = label
             cands, density = self.buckets.class_list_at_density(
                 self.idx_to_cls_fp[cls2], density)
-        return cls2, cands, density
+            return cls2, cands, density
+        except LookupError:
+            pass
+        # last resort (tiny/synthetic stores): any class with >=2 objects
+        for cls2 in rng.permutation(sorted(self.idx_to_cls_fp)):
+            try:
+                cands, density = self.buckets.class_list_at_density(
+                    self.idx_to_cls_fp[int(cls2)], density)
+                return int(cls2), cands, density
+            except LookupError:
+                continue
+        raise LookupError("no class has >=2 candidate objects")
 
     def sample(self, i: int) -> Dict[str, Any]:
         """One training pair (ReIDDatasetNuscenesFP.__getitem__,

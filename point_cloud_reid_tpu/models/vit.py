@@ -24,12 +24,24 @@ import jax.numpy as jnp
 
 VIT_PRESETS = {
     # dim, depth, heads — facebook/deit-*-distilled-patch16-224 configs
-    "deit-tiny": dict(dim=192, depth=12, heads=3, dist_token=True),
-    "deit-small": dict(dim=384, depth=12, heads=6, dist_token=True),
-    "deit-base": dict(dim=768, depth=12, heads=12, dist_token=True),
-    # microsoft/beit-base-patch16-224-pt22k
+    # final_norm=False: the reference taps hidden_states[-1] for DeiT — the
+    # last encoder block's output BEFORE the model's final LayerNorm
+    # (siamese_forward, ReIDNet.py:934-938) — so the flax module skips it.
+    "deit-tiny": dict(dim=192, depth=12, heads=3, dist_token=True,
+                      final_norm=False),
+    "deit-small": dict(dim=384, depth=12, heads=6, dist_token=True,
+                       final_norm=False),
+    "deit-base": dict(dim=768, depth=12, heads=12, dist_token=True,
+                      final_norm=False),
+    # 'no-pt' variants are plain ViTModel from config — no distillation
+    # token, 197 tokens (get_image_model, ReIDNet.py:818-826)
+    "deit-tiny-no-pt": dict(dim=192, depth=12, heads=3, dist_token=False,
+                            final_norm=False),
+    "deit-base-no-pt": dict(dim=768, depth=12, heads=12, dist_token=False,
+                            final_norm=False),
+    # microsoft/beit-base-patch16-224-pt22k; taps last_hidden_state (post-LN)
     "beit": dict(dim=768, depth=12, heads=12, dist_token=False,
-                 rel_pos_bias=True, layer_scale=True),
+                 rel_pos_bias=True, layer_scale=True, final_norm=True),
 }
 
 
@@ -71,11 +83,11 @@ class Block(nn.Module):
             g = self.param(name, nn.initializers.constant(0.1), (self.dim,))
             return g * y
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm1")(x)
         y = Attention(self.dim, self.heads, dtype=self.dtype,
                       name="attn")(y, rel_bias)
         x = x + scaled("gamma_1", y)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y)
         y = nn.gelu(y)
@@ -94,6 +106,8 @@ class ViT(nn.Module):
     dist_token: bool = True
     rel_pos_bias: bool = False
     layer_scale: bool = False
+    final_norm: bool = True
+    mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -134,9 +148,12 @@ class ViT(nn.Module):
                 n_tok, n_tok, self.heads).transpose(2, 0, 1)
 
         for i in range(self.depth):
-            x = Block(self.dim, self.heads, layer_scale=self.layer_scale,
+            x = Block(self.dim, self.heads, mlp_ratio=self.mlp_ratio,
+                      layer_scale=self.layer_scale,
                       dtype=self.dtype, name=f"block_{i}")(x, rel_bias)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        if self.final_norm:
+            x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm")(x)
+        return x
 
 
 def _relative_position_index(side: int) -> jnp.ndarray:
