@@ -113,6 +113,22 @@ class CropStore:
         return np.fromfile(path, offset=4 * 3 * n_skip,
                            dtype=np.float32).reshape(-1, 3)
 
+    def points_path(self, obj_id: str, frame: str) -> str:
+        return os.path.join(self._frame_dir(self.objects[obj_id], str(frame)),
+                            "pts_xyz.bin")
+
+    def load_point_batch(self, pairs, k: int, seeds) -> "np.ndarray":
+        """Batched native-path load+resample of many (obj, frame) crops.
+
+        Uses the C++ thread-pool loader (native/crop_loader.cpp) when built,
+        with a numpy fallback; returns ((B, k, 3) float32, (B,) int32 counts).
+        Note: full-file reads (load_fraction=1.0 only).
+        """
+        assert self.load_fraction == 1.0, "native batch path reads whole files"
+        from .. import native
+        paths = [self.points_path(o, f) for o, f in pairs]
+        return native.load_point_batch(paths, k, seeds)
+
     def load_image(self, obj_id: str, frame: str) -> np.ndarray:
         """(3, H, W) float32 image crop; zeros when the crop file is missing
         (object_loader_base.py:289-295)."""

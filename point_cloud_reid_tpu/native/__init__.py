@@ -1,0 +1,133 @@
+"""ctypes binding for the native C++ crop-store batch loader.
+
+Builds lazily via `make` (g++) on first use; all entry points degrade to
+pure-numpy fallbacks when the toolchain or library is unavailable, so the
+framework never hard-depends on the native path. See crop_loader.cpp for the
+design notes (thread-pooled reads, splitmix64-deterministic resampling).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libpcrloader.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def build(force: bool = False) -> bool:
+    """Compile libpcrloader.so with make; returns success."""
+    if os.path.exists(_LIB_PATH) and not force:
+        return True
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and not build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.pcr_load_point_batch.restype = ctypes.c_int
+        lib.pcr_load_point_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int]
+        lib.pcr_load_blob_batch.restype = ctypes.c_int
+        lib.pcr_load_blob_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _paths_array(paths: Sequence[str]):
+    arr = (ctypes.c_char_p * len(paths))()
+    arr[:] = [p.encode() for p in paths]
+    return arr
+
+
+def load_point_batch(paths: Sequence[str], k: int, seeds: Sequence[int],
+                     min_points: int = 3, nthreads: int = 8
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Read B pts_xyz.bin files and resample each to (k, 3) with replacement.
+
+    Returns (batch (B, k, 3) float32, counts (B,) int32; -1 = missing file).
+    Falls back to numpy when the native library is unavailable.
+    """
+    B = len(paths)
+    lib = _load()
+    if lib is not None:
+        out = np.zeros((B, k, 3), np.float32)
+        counts = np.zeros((B,), np.int32)
+        seeds_arr = (ctypes.c_uint64 * B)(*[int(s) & (2**64 - 1)
+                                            for s in seeds])
+        lib.pcr_load_point_batch(
+            _paths_array(paths), B, k, seeds_arr,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            min_points, nthreads)
+        return out, counts
+
+    # numpy fallback (same zeros semantics; python RNG stream)
+    out = np.zeros((B, k, 3), np.float32)
+    counts = np.full((B,), -1, np.int32)
+    for b, p in enumerate(paths):
+        if not os.path.exists(p):
+            continue
+        pts = np.fromfile(p, np.float32).reshape(-1, 3)
+        counts[b] = len(pts)
+        if len(pts) >= min_points:
+            rng = np.random.RandomState(int(seeds[b]) % (2**31 - 1))
+            out[b] = pts[rng.randint(0, len(pts), size=k)]
+    return out, counts
+
+
+def load_blob_batch(paths: Sequence[str], shape: Tuple[int, ...],
+                    nthreads: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+    """Read B fixed-size float32 blobs (img_crop.bin); zeros when missing.
+
+    Returns (batch (B, *shape) float32, ok (B,) int32 1/-1).
+    """
+    B = len(paths)
+    elems = int(np.prod(shape))
+    lib = _load()
+    if lib is not None:
+        out = np.zeros((B,) + tuple(shape), np.float32)
+        ok = np.zeros((B,), np.int32)
+        lib.pcr_load_blob_batch(
+            _paths_array(paths), B, elems,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), nthreads)
+        return out, ok
+
+    out = np.zeros((B,) + tuple(shape), np.float32)
+    ok = np.full((B,), -1, np.int32)
+    for b, p in enumerate(paths):
+        if os.path.exists(p):
+            raw = np.fromfile(p, np.float32)
+            if raw.size == elems:
+                out[b] = raw.reshape(shape)
+                ok[b] = 1
+    return out, ok
