@@ -112,43 +112,129 @@ def _nus_image_deit(variant: str, **kw):
                                       triplet=True))
 
 
-EXPERIMENTS: Dict[str, Callable[..., Dict[str, Any]]] = {
-    # nuScenes points (reid_nuscenes_pts/)
-    "pts_point-transformer_point-cat_nus_det_4x256_500e": _nus_pts_flagship,
-    "pts_pointnet_point-cat_nus_det_4x256_500e": _nus_pts_pointnet,
-    "pts_dgcnn_point-cat_nus_det_4x256_500e": _nus_pts_dgcnn,
-    "pts_point-transformer_baseline_nus_det_4x256_500e": _nus_pts_baseline,
-    "pts_point-transformer_baseline-stnet_nus_det_4x256_500e":
-        _nus_pts_baseline_stnet,
-    "pts_point-transformer-1.5M_point-cat_nus_det_4x256_500e":
-        lambda **kw: compose(D.nuscenes_pts(**kw),
-                             M.point_transformer_scaled("1.5M"),
-                             schedule("cyclic_500e_lr3e-4")),
-    "pts_point-transformer-7M_point-cat_nus_det_4x256_500e":
-        lambda **kw: compose(D.nuscenes_pts(**kw),
-                             M.point_transformer_scaled("7M"),
-                             schedule("cyclic_500e_lr3e-4")),
-    "pts_point-transformer_point-cat_256pts_nus_det_4x256_500e":
-        lambda **kw: compose(D.nuscenes_pts(subsample_sparse=256, **kw),
-                             M.point_transformer_point_cat(),
-                             schedule("cyclic_500e_lr3e-4")),
-    "pts_point-transformer_point-cat_512pts_nus_det_4x256_500e":
-        lambda **kw: compose(D.nuscenes_pts(subsample_sparse=512, **kw),
-                             M.point_transformer_point_cat(),
-                             schedule("cyclic_500e_lr3e-4")),
-    # Waymo points (reid_waymo_pts/) + ablations
-    "pts_point-transformer_point-cat_waymo_det_4x256_400e": _waymo_pts_flagship,
-    **{f"pts_point-transformer_point-cat_waymo_{n}pts":
-       (lambda n=n, **kw: _num_point_ablation(n, **kw))
-       for n in (160, 256, 512, 1024, 2048)},
-    # images (reid_nuscenes_image/)
-    "image_deit-tiny_point-cat_nus_det_4x60_200e":
-        lambda **kw: _nus_image_deit("deit-tiny", **kw),
-    "image_deit-base_point-cat_nus_det_4x60_200e":
-        lambda **kw: _nus_image_deit("deit-base", **kw),
-    "image_beit-base_nus_det_4x60_200e":
-        lambda **kw: _nus_image_deit("beit", **kw),
+# The registry is built generatively to cover the reference's full leaf
+# matrix (166 config files, SURVEY.md §2.2): model family x dataset x
+# schedule (incl. _accumN / _norm1) x point-count ablations x scaling runs x
+# testing_* eval leaves. Names follow the reference file names.
+
+EXPERIMENTS: Dict[str, Callable[..., Dict[str, Any]]] = {}
+
+
+def _register(name: str, fn: Callable[..., Dict[str, Any]]):
+    EXPERIMENTS[name] = fn
+
+
+def _testing(train_fn):
+    """testing_* leaf: same composition, eval-only runtime with deterministic
+    seeded val pairs (reidentification_runtime_testing.py:17,44;
+    model eval_only=True, testing_pts_*.py:10)."""
+    def fn(**kw):
+        cfg = train_fn(**kw)
+        cfg["runtime"] = dict(cfg["runtime"], validate=True,
+                              deterministic=True, eval_only=True)
+        return cfg
+    return fn
+
+
+_PTS_MODELS = {
+    "point-transformer_point-cat": lambda nc: M.point_transformer_point_cat(
+        num_classes=nc),
+    "pointnet_point-cat": lambda nc: M.pointnet_point_cat(num_classes=nc),
+    "dgcnn_point-cat": lambda nc: M.dgcnn_point_cat(num_classes=nc),
+    "point-transformer_baseline": lambda nc: M.point_transformer_baseline(),
+    "point-transformer_baseline-stnet":
+        lambda nc: M.point_transformer_baseline(stnet=True),
+    "point-transformer-1.5M_point-cat":
+        lambda nc: M.point_transformer_scaled("1.5M"),
+    "point-transformer-7M_point-cat":
+        lambda nc: M.point_transformer_scaled("7M"),
 }
+
+# ---- point leaves: nuScenes (500e grid) and Waymo (400e grid) ---------------
+for _ds_name, _ds_fn, _nc, _e in (("nus", D.nuscenes_pts, 10, 500),
+                                  ("waymo", D.waymo_pts, 6, 400)):
+    for _m_name, _m_fn in _PTS_MODELS.items():
+        def _mk(ds_fn=_ds_fn, m_fn=_m_fn, nc=_nc, e=_e, accum=1, pts=None,
+                epochs=None, **kw):
+            sname = f"cyclic_{epochs or e}e_lr3e-4" +                 (f"_accum{accum}" if accum > 1 else "")
+            dkw = dict(kw)
+            if pts:
+                dkw["subsample_sparse"] = pts
+            return compose(ds_fn(**dkw), m_fn(nc), schedule(sname))
+        base = f"pts_{_m_name}_{_ds_name}_det_4x256_{_e}e"
+        _register(base, _mk)
+        _register("testing_" + base, _testing(_mk))
+        for _a in (2, 4, 8):
+            _register(f"{base}_accum{_a}",
+                      (lambda a: lambda **kw: _mk(accum=a, **kw))(_a))
+    # point-count ablations (reid_waymo_pts/num_point_ablation/*,
+    # reid_nuscenes_pts/num_point_ablation/*; 3 backbone families)
+    for _m_name in ("point-transformer_point-cat", "pointnet_point-cat",
+                    "dgcnn_point-cat"):
+        for _n in (160, 192, 224, 256, 512, 1024, 2048):
+            _register(
+                f"pts_{_m_name}_{_ds_name}_det_4x256_{_e}e_{_n}pts",
+                (lambda m=_m_name, n=_n, ds_fn=_ds_fn, nc=_nc, e=_e:
+                 lambda **kw: compose(
+                     ds_fn(subsample_sparse=n, **kw),
+                     _PTS_MODELS[m](nc),
+                     schedule(f"cyclic_{e}e_lr3e-4")))())
+
+# scaling runs (scaling_*: waymo 800/1600/3200e, nuscenes 1000/2000/4000e —
+# download_pretrained.sh:15-17)
+for _e in (800, 1600, 3200):
+    _register(
+        f"scaling_pts_point-transformer_point-cat_waymo_det_4x256_{_e}e",
+        (lambda e=_e: lambda **kw: compose(
+            D.waymo_pts(**kw), M.point_transformer_point_cat(num_classes=6),
+            schedule(f"cyclic_{e}e_lr3e-4")))())
+for _e in (1000, 2000, 4000):
+    _register(
+        f"scaling_pts_point-transformer_point-cat_nus_det_4x256_{_e}e",
+        (lambda e=_e: lambda **kw: compose(
+            D.nuscenes_pts(**kw), M.point_transformer_point_cat(),
+            ScheduleConfig(policy="cyclic", max_epochs=e, lr=3e-4)))())
+
+# backward-compat aliases for the round-1 names
+for _n in (256, 512):
+    _register(
+        f"pts_point-transformer_point-cat_{_n}pts_nus_det_4x256_500e",
+        (lambda n=_n: lambda **kw: compose(
+            D.nuscenes_pts(subsample_sparse=n, **kw),
+            M.point_transformer_point_cat(),
+            schedule("cyclic_500e_lr3e-4")))())
+for _n in (160, 256, 512, 1024, 2048):
+    _register(f"pts_point-transformer_point-cat_waymo_{_n}pts",
+              EXPERIMENTS[
+                  f"pts_point-transformer_point-cat_waymo_det_4x256_400e_{_n}pts"])
+
+# ---- image leaves (reid_nuscenes_image/, reid_waymo_image/) -----------------
+for _ds_name, _img_ds, _nc, _e in (("nus", D.nuscenes_image, 10, 200),
+                                   ("waymo", D.waymo_image, 6, 200)):
+    for _v, _tag in (("deit-tiny", "deit-tiny_point-cat_pt"),
+                     ("deit-base", "deit-base_point-cat_pt"),
+                     ("deit-tiny-no-pt", "deit-tiny_point-cat_r"),
+                     ("deit-base-no-pt", "deit-base_point-cat_r"),
+                     ("beit", "beit-base-lin-xcorr")):
+        def _mk_img(v=_v, img_ds=_img_ds, nc=_nc, e=_e, **kw):
+            return compose(
+                img_ds(**kw),
+                M.image_deit_point_cat(v, num_classes=nc,
+                                       pretrained="no-pt" not in v),
+                schedule(f"cyclic_{e}e_lr1e-5"),
+                losses_to_use=dict(match=True, cls=True, fp=True, vis=True,
+                                   triplet=True))
+        name = f"rgb_{_tag}_{_ds_name}_det_4x60_{_e}e"
+        _register(name, _mk_img)
+        _register("testing_" + name, _testing(_mk_img))
+
+# round-1 image aliases
+_register("image_deit-tiny_point-cat_nus_det_4x60_200e",
+          EXPERIMENTS["rgb_deit-tiny_point-cat_pt_nus_det_4x60_200e"])
+_register("image_deit-base_point-cat_nus_det_4x60_200e",
+          EXPERIMENTS["rgb_deit-base_point-cat_pt_nus_det_4x60_200e"])
+_register("image_beit-base_nus_det_4x60_200e",
+          EXPERIMENTS["rgb_beit-base-lin-xcorr_nus_det_4x60_200e"])
 
 
 def get_experiment(name: str, **overrides) -> Dict[str, Any]:

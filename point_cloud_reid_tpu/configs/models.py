@@ -104,7 +104,9 @@ def image_deit_point_cat(variant: str = "deit-tiny",
                          pretrained: bool = False) -> Dict[str, Any]:
     """Image branch (image/reid_image_deit-tiny_point-cat.py:1-45)."""
     dims = {"deit-tiny": 192, "deit-small": 384, "deit-base": 768,
-            "beit": 768}
+            "deit-tiny-no-pt": 192, "deit-base-no-pt": 768, "beit": 768}
+    # DeiT-distilled = 198 tokens (cls + dist + 196); plain ViT / BEiT = 197
+    seq = 198 if variant.startswith("deit") and "no-pt" not in variant else 197
     hidden = dims[variant]
     hp = hidden * 2
     downsample_dim = 64
@@ -126,5 +128,5 @@ def image_deit_point_cat(variant: str = "deit-tiny",
         fp_head=_linear_res_head(hp, hp, 64, 1),
         vis_head=_linear_res_head(hp, hp, 64, 4),
         match_head=_linear_res_head(hm, hm, 16, 1),
-        output_sequence_size=198,
+        output_sequence_size=seq,
     )

@@ -1,0 +1,49 @@
+"""Experiment registry: full-matrix build + schedule-name parser grid."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from point_cloud_reid_tpu.configs import experiments as E
+from point_cloud_reid_tpu.models import build_model
+
+
+def test_all_experiments_build():
+    assert len(E.EXPERIMENTS) >= 140
+    for name in E.EXPERIMENTS:
+        cfg = E.get_experiment(name)
+        for axis in ("dataset", "model", "schedule", "runtime",
+                     "losses_to_use"):
+            assert axis in cfg, f"{name} missing {axis}"
+
+
+def test_testing_leaves_flip_runtime():
+    cfg = E.get_experiment("testing_pts_point-transformer_point-cat_nus_det_4x256_500e")
+    assert cfg["runtime"]["eval_only"] and cfg["runtime"]["deterministic"]
+
+
+@pytest.mark.parametrize("name,epochs,lr,clip,accum", [
+    ("cyclic_500e_lr3e-4", 500, 3e-4, 35.0, 1),
+    ("cyclic_200e_lr1e-5_norm1_accum2", 200, 1e-5, 1.0, 2),
+    ("cyclic_400e_lr3e-4_accum8", 400, 3e-4, 35.0, 8),
+])
+def test_schedule_parser(name, epochs, lr, clip, accum):
+    s = E.schedule(name)
+    assert (s.max_epochs, s.lr, s.grad_clip_norm, s.cumulative_iters) == \
+        (epochs, lr, clip, accum)
+
+
+@pytest.mark.parametrize("name", [
+    "pts_point-transformer_baseline_nus_det_4x256_500e",
+    "pts_point-transformer_baseline-stnet_nus_det_4x256_500e",
+    "pts_pointnet_point-cat_waymo_det_4x256_400e",
+])
+def test_model_families_init(name):
+    cfg = E.get_experiment(name)
+    model = build_model(cfg["model"])
+    B, N = 2, 32
+    batch = dict(sparse_1=jnp.zeros((B, N, 3)), sparse_2=jnp.zeros((B, N, 3)),
+                 id_1=jnp.zeros((B,), jnp.int32),
+                 id_2=jnp.zeros((B,), jnp.int32))
+    out = model.apply(model.init(jax.random.PRNGKey(0), batch, train=False),
+                      batch, train=False)
+    assert out["match_logits"].shape == (B,)
