@@ -30,8 +30,9 @@ def main():
     cfg = get_experiment("pts_point-transformer_point-cat_nus_det_4x256_500e")
     model = build_model(cfg["model"], dtype=jnp.bfloat16)
 
-    # tracking-frame scale: 64 live tracks x 64 detections, 128-pt crops
-    NT, ND, NPTS = 64, 64, 128
+    # tracking-frame scale: 128 live tracks x 128 detections, 128-pt crops
+    # (dense-scene nuScenes frame; per-frame cost is embed(dets) + full grid)
+    NT, ND, NPTS = 128, 128, 128
     rng = jax.random.PRNGKey(0)
     batch = dict(
         sparse_1=jax.random.normal(rng, (2, NPTS, 3)),
