@@ -38,14 +38,13 @@ def _knn_kernel(q_ref, db_ref, out_ref, d_scratch, *, k: int):
 
     col = jax.lax.broadcasted_iota(jnp.int32, d_scratch.shape, 1)
 
-    def body(j, _):
+    # static unroll over k (Mosaic fori_loop supports only full/no unroll;
+    # k <= 48 in all configs so full unroll is cheap and fastest)
+    for j in range(k):
         d = d_scratch[...]
         _, idx = argmin_first(d, axis=-1)              # (S,), first-occurrence
         out_ref[:, pl.ds(j, 1)] = idx[:, None]
         d_scratch[...] = jnp.where(col == idx[:, None], jnp.inf, d)
-        return 0
-
-    jax.lax.fori_loop(0, k, body, 0, unroll=min(k, 8))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
