@@ -75,10 +75,15 @@ class PairScorer:
         image_mode: skip xyz plumbing for the image branch.
     """
 
-    def __init__(self, model, variables, image_mode: bool = False):
+    def __init__(self, model, variables, image_mode: bool = False, mesh=None):
         self.model = model
         self.variables = variables
         self.image_mode = image_mode
+        # optional multi-chip scale-out: the flattened pair batch is sharded
+        # over every mesh axis (SURVEY.md §2.6 'sharded NxN pair-scoring' row);
+        # XLA partitions the match head SPMD with zero collectives in the
+        # forward (pairs are independent).
+        self.mesh = mesh
 
         @jax.jit
         def _embed(variables, pts):
@@ -153,12 +158,24 @@ class PairScorer:
                                   ).reshape((nt_p * nd_p,) + b.shape[1:])
             return pa, pb
 
+        def maybe_shard(x):
+            if x is None or self.mesh is None:
+                return x
+            if (nt_p * nd_p) % self.mesh.devices.size != 0:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec
+            return jax.device_put(
+                x, NamedSharding(self.mesh,
+                                 PartitionSpec(self.mesh.axis_names)))
+
         h1, h2 = grid(h_t, h_d)
+        h1, h2 = maybe_shard(h1), maybe_shard(h2)
         if self.image_mode:
             logits = self._score(self.variables, h1, None, h2, None)
         else:
             x1, x2 = grid(x_t, x_d)
-            logits = self._score(self.variables, h1, x1, h2, x2)
+            logits = self._score(self.variables, h1, maybe_shard(x1),
+                                 h2, maybe_shard(x2))
         mat = logits.reshape(nt_p, nd_p)[:nt, :nd]
 
         if track_classes is not None and det_classes is not None:
