@@ -10,7 +10,9 @@ Rebuilds the reference's dataset stack (SURVEY.md §2.3) without lamtk/mmcv:
 """
 from .buckets import DensityBuckets, POW2_BUCKETS
 from .pipeline import subsample_pc_np, collate_pairs, BatchLoader
-from .samplers import PairDataset, ValEvenPairs, build_pair_dataset
+from .samplers import (PairDataset, ValEvenPairs, ValErrPairs,
+                       ClassBalancedPairs, TrackingErrorsSampler,
+                       build_pair_dataset)
 from .store import CropStore, SyntheticStore, ObjectRecord
 
 __all__ = [

@@ -333,8 +333,142 @@ def build_pair_dataset(cfg: Dict[str, Any], store, complete_store=None):
         subsample_dense=cfg.get("subsample_dense", 2048),
         mode=cfg.get("mode", "points"),
     )
-    if cfg.get("split", "train") == "val":
+    split = cfg.get("split", "train")
+    if split == "val" and cfg.get("err_filepath"):
+        return ValErrPairs(err_filepath=cfg["err_filepath"],
+                           max_combinations=cfg.get("max_combinations", 10),
+                           validation_seed=cfg.get("validation_seed", 0),
+                           **common)
+    if split == "val":
         return ValEvenPairs(max_combinations=cfg.get("max_combinations", 10),
                             validation_seed=cfg.get("validation_seed", 0),
                             **common)
-    return PairDataset(seed=cfg.get("seed", 0), **common)
+    ds = PairDataset(seed=cfg.get("seed", 0), **common)
+    if cfg.get("class_balanced"):
+        ds = ClassBalancedPairs(ds, cfg.get("oversample_thr", 1.0))
+    return ds
+
+
+class TrackingErrorsSampler:
+    """Reader for tracker-error JSON artifacts.
+
+    Format (reference TrackingErrorsSampler,
+    reidentification_nuscenes.py:362-403):
+        {cls: {threshold: {"positives": [{prev_sample_token,
+                                          curr_sample_token, object_token}],
+                           "negatives": [{prev_sample_token, curr_sample_token,
+                                          prev_object_token,
+                                          curr_object_token}]}}}
+    The lowest threshold per class is used.
+    """
+
+    def __init__(self, filepath: str):
+        import json
+        with open(filepath) as f:
+            self.data = json.load(f)
+
+    @property
+    def classes(self):
+        return sorted(self.data.keys())
+
+    def thresholds(self, c: str):
+        return sorted(self.data[c].keys())
+
+    def _entries(self, kind: str):
+        out = {}
+        for c in self.classes:
+            t = self.thresholds(c)[0]
+            out[c] = list(self.data[c][t].get(kind, [])) \
+                if self.data[c][t] else []
+        return out
+
+    def get_positives(self):
+        return self._entries("positives")
+
+    def get_negatives(self):
+        return self._entries("negatives")
+
+
+class ValErrPairs(ValEvenPairs):
+    """Validation pairs drawn from actual tracker mistakes.
+
+    Equivalent of ReIDDatasetValErr / ReIDDatasetImageValErr
+    (reidentification_nuscenes.py:407-521): positives are (object, frame,
+    frame) spans where the tracker broke an identity; negatives are
+    (objectA, objectB) pairs it confused. `sample_to_frame` maps the JSON's
+    sample tokens to store frame keys (identity by default). Entries whose
+    object/frame are missing from the crop store are skipped, mirroring the
+    reference's KeyError-continue.
+    """
+
+    def __init__(self, *args, err_filepath: str, sample_to_frame=None,
+                 **kwargs):
+        self._err_filepath = err_filepath
+        self._sample_to_frame = sample_to_frame or (lambda s: str(s))
+        super().__init__(*args, **kwargs)
+
+        tes = TrackingErrorsSampler(err_filepath)
+        s2f = self._sample_to_frame
+
+        def has(tok, frame):
+            return (tok in self.store.objects
+                    and frame in self.store.objects[tok].num_pts)
+
+        positives = []
+        for cls_, entries in tes.get_positives().items():
+            if cls_ not in self.cls_to_idx:
+                continue
+            for x in entries:
+                o1 = s2f(x["prev_sample_token"])
+                o2 = s2f(x["curr_sample_token"])
+                tok = x["object_token"]
+                if has(tok, o1) and has(tok, o2):
+                    positives.append(dict(tok=tok, o1=o1, o2=o2,
+                                          cls=self.cls_to_idx[cls_],
+                                          pts2=self.store.objects[tok]
+                                          .num_pts[o2]))
+        negatives = []
+        for cls_, entries in tes.get_negatives().items():
+            if cls_ not in self.cls_to_idx:
+                continue
+            for x in entries:
+                o1 = s2f(x["prev_sample_token"])
+                o2 = s2f(x["curr_sample_token"])
+                t1, t2 = x["prev_object_token"], x["curr_object_token"]
+                if has(t1, o1) and has(t2, o2):
+                    negatives.append(dict(tok1=t1, o1=o1,
+                                          cls1=self.cls_to_idx[cls_],
+                                          tok2=t2, o2=o2,
+                                          cls2=self.cls_to_idx[cls_]))
+        self.val_positives = positives
+        self.val_negatives = negatives
+
+
+class ClassBalancedPairs:
+    """Class-balanced resampling wrapper (CBGSDataset semantics,
+    dataset_wrappers.py:7): oversamples rare classes so each class
+    contributes ~uniformly; index expansion computed once."""
+
+    def __init__(self, dataset: PairDataset, oversample_thr: float = 1.0):
+        self.dataset = dataset
+        labels = np.asarray(dataset.tp_labels)
+        classes, counts = np.unique(labels, return_counts=True)
+        freq = counts / counts.sum()
+        repeat = {c: max(1.0, oversample_thr / f)
+                  for c, f in zip(classes, freq)}
+        idx = []
+        for i, lab in enumerate(labels):
+            r = repeat[lab]
+            n = int(r) + (1 if np.random.RandomState(i).rand() < r - int(r)
+                          else 0)
+            idx.extend([i] * n)
+        self.indices = np.asarray(idx)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def set_epoch(self, epoch: int, seed: int = 0):
+        self.dataset.set_epoch(epoch, seed)
+
+    def sample(self, i: int):
+        return self.dataset.sample(int(self.indices[i % len(self.indices)]))

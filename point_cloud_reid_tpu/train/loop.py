@@ -221,6 +221,8 @@ class Trainer:
             for k, v in res.items():
                 accum.setdefault(k, []).append(np.asarray(v))
         results = {k: np.concatenate(v, axis=0) for k, v in accum.items()}
+        from ..parallel import allgather_results
+        results = allgather_results(results)   # multi-host: collective gather
         metrics = evaluate_results(
             results, cls_to_idx=self.cfg.get("cls_to_idx", {}),
             num_classes=self.cfg.get("num_classes", 10))

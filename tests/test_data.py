@@ -134,3 +134,74 @@ def test_store_roundtrip(tmp_path):
     missing = disk.load_image(tok, "999") if "999" in disk.objects[tok].num_pts \
         else np.zeros((3, 8, 8))
     assert missing.shape == (3, 8, 8)
+
+
+def test_tracking_errors_sampler_and_valerr(tmp_path):
+    """ValErrPairs builds pair lists from a tracker-error JSON and skips
+    entries missing from the store (reference KeyError-continue semantics)."""
+    import json
+
+    from point_cloud_reid_tpu.data import (SyntheticStore, ValErrPairs,
+                                           TrackingErrorsSampler)
+
+    store = SyntheticStore(num_objects=10, frames_per_obj=4, seed=3,
+                           class_names=["car", "pedestrian"])
+    toks = [t for t, r in store.objects.items() if not r.is_fp]
+    by_cls = {}
+    for t in toks:
+        by_cls.setdefault(store.objects[t].class_name, []).append(t)
+    cls_name = max(by_cls, key=lambda c: len(by_cls[c]))
+    objs = by_cls[cls_name]
+    frames = store.filtered_frames(store.objects[objs[0]])
+    err = {cls_name: {"0.5": {
+        "positives": [
+            {"prev_sample_token": frames[0], "curr_sample_token": frames[1],
+             "object_token": objs[0]},
+            {"prev_sample_token": "nope", "curr_sample_token": frames[1],
+             "object_token": objs[0]},           # missing frame -> skipped
+        ],
+        "negatives": [
+            {"prev_sample_token": frames[0], "curr_sample_token": frames[1],
+             "prev_object_token": objs[0], "curr_object_token": objs[1]},
+        ]}}}
+    path = tmp_path / "errors.json"
+    path.write_text(json.dumps(err))
+
+    tes = TrackingErrorsSampler(str(path))
+    assert tes.classes == [cls_name]
+    assert len(tes.get_positives()[cls_name]) == 2
+
+    ds = ValErrPairs(
+        store=store, classes=["car", "pedestrian"],
+        cls_to_idx={"car": 0, "pedestrian": 1},
+        tracking_classes={"car": "car", "pedestrian": "pedestrian"},
+        err_filepath=str(path), subsample_sparse=16)
+    assert len(ds.val_positives) == 1          # the missing-frame one dropped
+    assert len(ds.val_negatives) == 1
+    assert len(ds) == 2
+    pos = ds.sample(0)
+    neg = ds.sample(1)
+    assert pos["id_1"] == pos["id_2"]
+    assert neg["id_1"] != neg["id_2"]
+
+
+def test_class_balanced_pairs():
+    from point_cloud_reid_tpu.data import (ClassBalancedPairs, PairDataset,
+                                           SyntheticStore)
+    import numpy as np
+
+    store = SyntheticStore(num_objects=40, frames_per_obj=4, seed=4,
+                           class_names=["car", "pedestrian"])
+    ds = PairDataset(store=store, classes=["car", "pedestrian"],
+                     cls_to_idx={"car": 0, "pedestrian": 1},
+                     tracking_classes={"car": "car",
+                                       "pedestrian": "pedestrian"},
+                     subsample_sparse=16)
+    cb = ClassBalancedPairs(ds, oversample_thr=0.5)
+    assert len(cb) >= len(ds)
+    labels = np.asarray(ds.tp_labels)[cb.indices]
+    _, counts = np.unique(labels, return_counts=True)
+    # balanced-ish: rarest class at least half of the most common
+    assert counts.min() * 2 >= counts.max() * 0.5
+    item = cb.sample(0)
+    assert item["sparse_1"].shape == (16, 3)
