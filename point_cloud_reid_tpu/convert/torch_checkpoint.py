@@ -55,6 +55,25 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+# whole-key rewrites applied before leaf rules (PointNet STN / DGCNN blocks,
+# reference pointnet.py:10-127 and dgcnn_orig.py:89-152: standalone bnN
+# attributes pair with convN/fcN layers; our ConvBNReLU nests conv+bn)
+_PREFIX_RULES: List[Tuple[str, str]] = [
+    # STN3d / STNkd inside PointNetEncoder
+    (r"\.(stn|fstn)\.conv(\d)\.", r".\1.conv\2.conv."),
+    (r"\.(stn|fstn)\.bn([123])\.", r".\1.conv\2.bn."),
+    (r"\.(stn|fstn)\.bn4\.", r".\1.fc1.bn."),
+    (r"\.(stn|fstn)\.bn5\.", r".\1.fc2.bn."),
+    (r"\.(stn|fstn)\.fc([12])\.", r".\1.fc\2.conv."),
+    # PointNetEncoder trunk (conv3+bn3 stay separate: BN-no-ReLU tail)
+    (r"\.feat\.conv([12])\.", r".feat.conv\1.conv."),
+    (r"\.feat\.bn([12])\.", r".feat.conv\1.bn."),
+    # DGCNN EdgeConv blocks: Sequential(conv,bn,lrelu) with shared bn attrs
+    (r"^backbone\.conv([1-4])\.0\.", r"backbone.conv\1.conv."),
+    (r"^backbone\.bn([1-4])\.", r"backbone.conv\1.bn."),
+    (r"^backbone\.conv5\.0\.", r"backbone.conv5."),
+]
+
 # suffix rewrites applied within a module (ordered; first match wins)
 _LEAF_RULES: List[Tuple[str, str]] = [
     (r"pos_mlp\.0\.(weight|bias)$", r"pos_mlp/fc1/\1"),
@@ -80,6 +99,8 @@ _SKIP_PATTERNS = [
     r"num_batches_tracked$",
     r"^backbone\.FP_modules\.\d+\.mlp_convs\.",   # constructed but unused
     r"^backbone\.FP_modules\.\d+\.mlp_bns\.",     # (pointnet2_utils.py:442-473)
+    # DGCNN Sequential re-registers the shared bn modules; keep the bnN copy
+    r"^backbone\.conv\d\.1\.",
 ]
 
 # cross_lin_attn (image match stages) constructs a pos_mlp that its forward
@@ -93,6 +114,10 @@ def _translate(tkey: str, head_children: Dict[str, List[str]]) -> str:
     k = re.sub(r"^backbone\.SA_modules\.(\d+)\.", r"backbone.sa_\1.", k)
     k = re.sub(r"^backbone\.FP_modules\.(\d+)\.interpolation\.",
                r"backbone.fp_\1.interpolation.", k)
+    for pat, rep in _PREFIX_RULES:
+        if re.search(pat, k):
+            k = re.sub(pat, rep, k)
+            break
     # Sequential heads: match_head.0.* -> match_head/0_<Type>/* ; the actual
     # child name (0_LinearRes / 1_Linear / ...) is read from the param tree.
     m = re.match(r"^(%s)\.(\d+)\.(.*)$" % "|".join(_HEAD_NAMES), k)
