@@ -12,7 +12,11 @@ Capability map to the reference's 12 native extensions (SURVEY.md §2.7):
   iou3d                 -> boxes.boxes_iou_bev / boxes_iou_3d / nms_bev
   roiaware_pool3d       -> boxes.points_in_rboxes
   norm (SyncBN)         -> models.layers.BatchNorm runs global batch stats under SPMD jit
-  spconv / paconv       -> out of active-path scope (documented non-goals, see SURVEY §2.7)
+  paconv                -> sparse.assign_score_withk
+  spconv                -> sparse.build_indice_pairs / submanifold_conv3d
+                           (fixed-capacity hash rulebook + gather-matmul-scatter)
+  box structures (§2.8) -> boxes3d.Boxes3D (lidar/depth origins, corners,
+                           points-in-box, rotate, IoU, NMS)
 """
 from .attention import elu_feature_map, full_attention, linear_attention
 from .boxes import (
@@ -45,6 +49,9 @@ from .geometry import (
     three_interpolate,
     three_nn,
 )
+from .boxes3d import Boxes3D
+from .sparse import (assign_score_withk, build_indice_pairs,
+                     submanifold_conv3d)
 from .voxel import bev_pool, dynamic_scatter_mean, voxelize_hard
 
 __all__ = [
@@ -58,4 +65,6 @@ __all__ = [
     "sample_and_group_all", "sample_and_group_edge", "square_distance",
     "subsample_pc", "three_interpolate", "three_nn",
     "bev_pool", "dynamic_scatter_mean", "voxelize_hard",
+    "Boxes3D", "assign_score_withk", "build_indice_pairs",
+    "submanifold_conv3d",
 ]
