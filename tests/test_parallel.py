@@ -1,0 +1,100 @@
+"""Parallel layer: sharding specs, DP invariance, pair-sharded scoring."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from point_cloud_reid_tpu.models import build_model
+from point_cloud_reid_tpu.parallel import (allgather_results, barrier,
+                                           init_distributed, make_mesh,
+                                           replicated, shard_batch)
+from point_cloud_reid_tpu.train import (TrainState, build_optimizer,
+                                        make_train_step)
+from point_cloud_reid_tpu.train.schedules import ScheduleConfig
+
+TINY = dict(
+    type="ReIDNet",
+    backbone=dict(type="Pointnet_Backbone", input_channels=0, use_xyz=True,
+                  conv_out=8, mul=1, nsample=[4, 4, 4]),
+    match_head=[dict(type="LinearRes", n_in=16, n_out=16, norm="GN", ng=8),
+                dict(type="Linear", out_features=1)],
+    cross_stage1=dict(type="corss_attention", d_model=8, nhead=2),
+    cross_stage2=dict(type="corss_attention", d_model=8, nhead=2),
+    match_type="xcorr_eff", pool_type="both", combine="point-cat",
+    backbone_list=[8, 4, 2], output_sequence_size=8, hidden_size=16,
+)
+
+
+def _batch(B=16, N=8):
+    r = jax.random.PRNGKey(0)
+    return dict(sparse_1=jax.random.normal(r, (B, N, 3)),
+                sparse_2=jax.random.normal(jax.random.PRNGKey(1), (B, N, 3)),
+                label_1=jnp.zeros((B,), jnp.int32),
+                label_2=jnp.ones((B,), jnp.int32),
+                id_1=jnp.arange(B, dtype=jnp.int32),
+                id_2=jnp.arange(B, dtype=jnp.int32) % 3)
+
+
+def test_init_distributed_single_process():
+    info = init_distributed()
+    assert info["process_count"] == 1
+    barrier()                                   # no-op, must not raise
+
+
+def test_allgather_single_process_identity():
+    r = {"a": np.arange(6).reshape(3, 2)}
+    out = allgather_results(r)
+    np.testing.assert_array_equal(out["a"], r["a"])
+
+
+def test_shard_batch_specs():
+    mesh = make_mesh(data=8)
+    batch = shard_batch(mesh, _batch(B=16))
+    sh = batch["sparse_1"].sharding
+    assert sh.spec[0] == "data"
+
+
+def test_dp_train_step_invariant_to_sharding():
+    """One SPMD step on a sharded batch == the same step replicated: XLA's
+    collective gradient reduction must not change the math (f32)."""
+    model = build_model(TINY)
+    batch = _batch(B=16, N=8)
+    tx = build_optimizer(ScheduleConfig(max_epochs=1), steps_per_epoch=4)
+    state = TrainState.create(model, tx, batch, rng=jax.random.PRNGKey(2))
+    step = make_train_step(model, tx, dict(match=True), {}, donate=False)
+    rng = jax.random.PRNGKey(3)
+
+    s_single, log_single = step(state, batch, rng)
+
+    mesh = make_mesh(data=8)
+    with mesh:
+        s0 = jax.device_put(state, replicated(mesh))
+        db = shard_batch(mesh, batch)
+        s_mesh, log_mesh = step(s0, db, rng)
+
+    np.testing.assert_allclose(float(log_single["reid_loss"]),
+                               float(log_mesh["reid_loss"]),
+                               rtol=2e-5, atol=2e-5)
+    l1 = jax.tree_util.tree_leaves(s_single.params)
+    l2 = jax.tree_util.tree_leaves(jax.device_get(s_mesh.params))
+    for a, b in zip(l1, l2):
+        # Adam normalizes gradients, amplifying f32 reduction-order noise:
+        # collective (tree) reduction vs single-device row order
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=5e-4)
+
+
+def test_pair_sharded_cost_matrix_matches_unsharded():
+    from point_cloud_reid_tpu.inference import PairScorer
+    model = build_model(TINY)
+    batch = _batch(B=2, N=8)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    crops = jax.random.normal(jax.random.PRNGKey(5), (8, 8, 3))
+    plain = PairScorer(model, variables)
+    xyz, h = plain.embed(crops)
+    ref = np.asarray(plain.cost_matrix(h, xyz, h, xyz, pad=True))
+
+    mesh = make_mesh(data=4, pairs=2)
+    sharded = PairScorer(model, variables, mesh=mesh)
+    got = np.asarray(sharded.cost_matrix(h, xyz, h, xyz, pad=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

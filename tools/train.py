@@ -32,6 +32,12 @@ def parse_args(argv=None):
     p.add_argument("--work-dir", default=None)
     p.add_argument("--checkpoint", default=None,
                    help="orbax checkpoint to load (load_from semantics)")
+    p.add_argument("--resume", default=None,
+                   help="orbax checkpoint to resume full training state from "
+                        "(resume_from semantics: params + optimizer + step)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the first epochs "
+                        "into DIR (view with tensorboard/xprof)")
     p.add_argument("--seed", type=int, default=66)       # reference default
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None,
@@ -98,8 +104,8 @@ def build_all(cfg, args):
     sample = next(iter(val_loader))
     state = TrainState.create(model, tx, sample,
                               rng=jax.random.PRNGKey(args.seed))
-    if args.checkpoint:
-        state = trainer.load_checkpoint(state, args.checkpoint)
+    if args.checkpoint or args.resume:
+        state = trainer.load_checkpoint(state, args.checkpoint or args.resume)
     return trainer, state
 
 
@@ -118,7 +124,9 @@ def main(argv=None):
         print(json.dumps({k: v for k, v in metrics.items()
                           if not isinstance(v, dict)}, indent=1))
         return
-    state = trainer.fit(state)
+    from point_cloud_reid_tpu.utils.profiling import trace_context
+    with trace_context(args.profile):
+        state = trainer.fit(state)
     metrics = trainer.evaluate(state)
     print(json.dumps({k: v for k, v in metrics.items()
                       if not isinstance(v, dict)}, indent=1))
