@@ -21,6 +21,7 @@ Components:
 """
 from .association import associate, center_distance_gate, greedy_assignment
 from .crops import extract_box_crops
+from .image_crops import crops_per_frame, extract_crops, project_boxes
 from .manager import TrackingManager
 from .supervision import (association_margin_loss, sigmoid_focal_loss,
                           softmax_association_loss)
@@ -28,7 +29,8 @@ from .track import Track, TrackStore
 
 __all__ = [
     "associate", "center_distance_gate", "greedy_assignment",
-    "extract_box_crops", "TrackingManager", "Track", "TrackStore",
+    "extract_box_crops", "crops_per_frame", "extract_crops", "project_boxes",
+    "TrackingManager", "Track", "TrackStore",
     "sigmoid_focal_loss", "association_margin_loss",
     "softmax_association_loss",
 ]

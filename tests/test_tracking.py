@@ -200,3 +200,32 @@ def test_tracking_manager_with_real_scorer():
         tracks = mgr.step(pts, boxes, np.ones(2, np.float32),
                           np.zeros(2, np.int64))
     assert len(tracks) >= 1
+
+
+def test_lstm_incrementor_and_updater():
+    from point_cloud_reid_tpu.tracking.motion import (BoxUpdater,
+                                                      LSTMIncrementor,
+                                                      constant_velocity_step)
+
+    box = jnp.asarray([1.0, 2.0, 0.0, 2, 2, 2, 0.5])
+    out = constant_velocity_step(box, jnp.asarray([0.5, -0.5]), dt=2.0)
+    np.testing.assert_allclose(np.asarray(out[:2]), [2.0, 1.0])
+
+    m = LSTMIncrementor(hidden=16)
+    seq = jnp.asarray(np.random.RandomState(0).randn(3, 5, 8), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), seq)
+    d_full = m.apply(variables, seq)
+    assert d_full.shape == (3, 2)
+    # variable lengths: prefix of length L must match a truncated sequence
+    d_len = m.apply(variables, seq, lengths=jnp.asarray([5, 3, 1]))
+    d_trunc = m.apply(variables, seq[1:2, :3])
+    np.testing.assert_allclose(np.asarray(d_len[1]), np.asarray(d_trunc[0]),
+                               rtol=1e-5, atol=1e-6)
+
+    upd = BoxUpdater(dim_momentum=1.0, yaw_momentum=1.0)
+    tb = jnp.asarray([0.0, 0, 0, 2, 2, 2, 0.0])
+    db = jnp.asarray([1.0, 1, 0, 4, 4, 4, 1.0])
+    nb = np.asarray(upd(tb, db))
+    np.testing.assert_allclose(nb[:3], [1, 1, 0])    # center from detection
+    np.testing.assert_allclose(nb[3:6], [2, 2, 2])   # dims kept (momentum 1)
+    np.testing.assert_allclose(nb[6], 0.0)           # yaw kept
