@@ -13,7 +13,8 @@ from .pipeline import subsample_pc_np, collate_pairs, BatchLoader
 from .samplers import (PairDataset, ValEvenPairs, ValErrPairs,
                        ClassBalancedPairs, TrackingErrorsSampler,
                        build_pair_dataset)
-from .store import CropStore, SyntheticStore, ObjectRecord
+from .store import (CompleteStore, CropStore, FakeCompleteStore,
+                    SyntheticStore, ObjectRecord)
 
 __all__ = [
     "DensityBuckets", "POW2_BUCKETS", "subsample_pc_np", "collate_pairs",

@@ -153,6 +153,33 @@ class FakeCompleteStore:
         return np.zeros((self.ssn, 3), dtype=np.float32)
 
 
+class CompleteStore:
+    """On-disk dense complete-shape store.
+
+    Real equivalent of ObjectLoaderComplete{Nuscenes,Waymo}
+    (object_loader_base.py:469-497): per-object aggregated shapes at
+    {root}/{obj.path}/complete_pts_xyz.bin. Missing shapes load as zeros
+    (the FakeCompleteLoader stand-in semantics all released configs use).
+    """
+
+    def __init__(self, root: str, subsample_num: int = 2048):
+        self.root = root
+        self.ssn = subsample_num
+        idx = os.path.join(root, "objects.pkl")
+        self.objects: Dict[str, ObjectRecord] = {}
+        if os.path.exists(idx):
+            with open(idx, "rb") as f:
+                self.objects = {r.id: r for r in pickle.load(f)}
+
+    def load_complete(self, obj_id: str) -> np.ndarray:
+        rec = self.objects.get(obj_id)
+        rel = rec.path if rec is not None else obj_id
+        path = os.path.join(self.root, rel, "complete_pts_xyz.bin")
+        if os.path.exists(path):
+            return np.fromfile(path, dtype=np.float32).reshape(-1, 3)
+        return np.zeros((self.ssn, 3), dtype=np.float32)
+
+
 class SyntheticStore:
     """Procedural in-memory dataset with the CropStore interface.
 
@@ -249,5 +276,10 @@ class SyntheticStore:
             d = os.path.join(root, tok, frame)
             os.makedirs(d, exist_ok=True)
             im.astype(np.float32).tofile(os.path.join(d, "img_crop.bin"))
+        for tok, pts in self._complete.items():
+            d = os.path.join(root, tok)
+            os.makedirs(d, exist_ok=True)
+            pts.astype(np.float32).tofile(
+                os.path.join(d, "complete_pts_xyz.bin"))
         with open(os.path.join(root, "objects.pkl"), "wb") as f:
             pickle.dump(list(self.objects.values()), f)

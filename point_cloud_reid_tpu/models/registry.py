@@ -19,7 +19,7 @@ from .attention_blocks import (
     SelfAttentionBlock,
 )
 from .dgcnn import DGCNNBackbone
-from .layers import LinearRes
+from .layers import LinearRes, PostRes
 from .point_transformer import PointTransformerBackbone
 from .pointnet import PointNetBackbone
 
@@ -46,6 +46,11 @@ class SequentialHead(nn.Module):
                 x = LinearRes(n_in=spec["n_in"], n_out=spec["n_out"],
                               norm=spec.get("norm", "GN"), ng=spec.get("ng", 32),
                               dtype=self.dtype, name=name)(x, train=train)
+            elif t == "PostRes":
+                x = PostRes(n_out=spec["n_out"], stride=spec.get("stride", 1),
+                            norm=spec.get("norm", "GN"),
+                            ng=spec.get("ng", 32), dtype=self.dtype,
+                            name=name)(x, train=train)
             elif t == "Linear":
                 x = nn.Dense(spec["out_features"], dtype=self.dtype, name=name)(x)
             elif t == "Conv1d":

@@ -21,6 +21,8 @@ Components:
 """
 from .association import associate, center_distance_gate, greedy_assignment
 from .crops import extract_box_crops
+from .decisions import DecisionModifier, sampling_rate
+from .motion import BoxUpdater, LSTMIncrementor, constant_velocity_step
 from .image_crops import crops_per_frame, extract_crops, project_boxes
 from .manager import TrackingManager
 from .supervision import (association_margin_loss, sigmoid_focal_loss,
@@ -31,6 +33,8 @@ __all__ = [
     "associate", "center_distance_gate", "greedy_assignment",
     "extract_box_crops", "crops_per_frame", "extract_crops", "project_boxes",
     "TrackingManager", "Track", "TrackStore",
+    "DecisionModifier", "sampling_rate", "BoxUpdater", "LSTMIncrementor",
+    "constant_velocity_step",
     "sigmoid_focal_loss", "association_margin_loss",
     "softmax_association_loss",
 ]

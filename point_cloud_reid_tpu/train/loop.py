@@ -42,7 +42,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
                     losses_to_use: Dict[str, bool], alpha: Dict[str, float],
                     fp_label_threshold: int = 9, use_o: bool = False,
                     triplet_sample_num: int = 5, triplet_margin: float = 0.2,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, monitor: bool = False) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, log_vars).
 
     Equivalent surface: ReIDNet.train_step + forward_train + OptimizerHook
@@ -79,6 +79,11 @@ def make_train_step(model, tx: optax.GradientTransformation,
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         log["grad_norm"] = optax.global_norm(grads)
+        if monitor:
+            # UpdateParamMonitor / UpdateGradMonitor equivalents
+            # (core/hooks/update_monitors_hook.py:5-63)
+            log["param_norm"] = optax.global_norm(new_params)
+            log["update_norm"] = optax.global_norm(updates)
         new_state = state.replace(params=new_params, batch_stats=new_bs,
                                   opt_state=new_opt, step=state.step + 1)
         return new_state, log
@@ -153,7 +158,8 @@ class Trainer:
             model, tx, lcfg, alpha, fp_label_threshold=fp_thr,
             use_o=cfg.get("use_o", False),
             triplet_sample_num=cfg.get("triplet_sample_num", 5),
-            triplet_margin=cfg.get("triplet_margin", 0.2))
+            triplet_margin=cfg.get("triplet_margin", 0.2),
+            monitor=cfg.get("monitor", False))
         self.eval_step = make_eval_step(
             model, dict(lcfg, triplet=False, dense=False), alpha,
             fp_label_threshold=fp_thr)

@@ -229,3 +229,23 @@ def test_lstm_incrementor_and_updater():
     np.testing.assert_allclose(nb[:3], [1, 1, 0])    # center from detection
     np.testing.assert_allclose(nb[3:6], [2, 2, 2])   # dims kept (momentum 1)
     np.testing.assert_allclose(nb[6], 0.0)           # yaw kept
+
+
+def test_decision_modifier_teacher_forcing():
+    from point_cloud_reid_tpu.tracking import DecisionModifier, sampling_rate
+
+    assert sampling_rate("linear_decay", 0, 10) == 1.0
+    assert sampling_rate("linear_decay", 10, 10) == 0.0
+    assert sampling_rate("always", 5, 10) == 1.0
+
+    dm = DecisionModifier(seed=0)
+    dm.set_epoch(0, 10)                        # pure teacher forcing
+    out = dm.modify_matches(pred_matches=[(0, 1)], gt_matches=[(0, 0), (1, 1)],
+                            num_tracks=2, num_dets=2)
+    assert sorted(out) == [(0, 0), (1, 1)]     # gt wins, contradiction dropped
+
+    dm.set_epoch(10, 10)                       # pure model decisions
+    out = dm.modify_matches(pred_matches=[(0, 1)], gt_matches=[(0, 0)],
+                            num_tracks=1, num_dets=2)
+    assert out == [(0, 1)]
+    assert dm.modify_newborns([2], [3]) == [2]
