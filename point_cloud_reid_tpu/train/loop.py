@@ -208,7 +208,15 @@ class Trainer:
                                   jax.device_get(log) if n else {},
                                   extra={"epoch_time_s": time.time() - t0})
 
-            if eval_interval and (epoch + 1) % eval_interval == 0:
+            interval = eval_interval
+            if isinstance(eval_interval, (list, tuple)):
+                # dynamic intervals (DistEvalHook dynamic_intervals,
+                # eval_hook.py): [(start_epoch, interval), ...]
+                interval = 0
+                for start, iv in eval_interval:
+                    if epoch + 1 >= start:
+                        interval = iv
+            if interval and (epoch + 1) % interval == 0:
                 metrics = self.evaluate(state)
                 self.logger.log_eval(int(state.step), epoch, metrics)
             if ckpt_interval and (epoch + 1) % ckpt_interval == 0:

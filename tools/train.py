@@ -60,8 +60,12 @@ def build_all(cfg, args):
                                             build_optimizer)
 
     dcfg = cfg["dataset"]
+    complete_store = None
     if args.root:
         store = CropStore(args.root)
+        from point_cloud_reid_tpu.data import CompleteStore
+        complete_store = CompleteStore(
+            args.root, subsample_num=dcfg.get("subsample_dense", 2048))
     else:
         store = SyntheticStore(
             num_objects=args.synthetic_objects,
@@ -69,8 +73,10 @@ def build_all(cfg, args):
             with_images=(dcfg["train"]["mode"] == "image"),
             crop_size=(224, 224) if dcfg["train"]["mode"] == "image"
             else (32, 32))
-    train_ds = build_pair_dataset(dcfg["train"], store)
-    val_ds = build_pair_dataset(dcfg["val"], store)
+    if complete_store is None and hasattr(store, "load_complete"):
+        complete_store = store              # synthetic store carries shapes
+    train_ds = build_pair_dataset(dcfg["train"], store, complete_store)
+    val_ds = build_pair_dataset(dcfg["val"], store, complete_store)
 
     mesh = make_mesh()
     n_dev = mesh.devices.size
