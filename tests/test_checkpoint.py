@@ -1,0 +1,62 @@
+"""Orbax checkpoint save/load roundtrip through the Trainer (resume path)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from point_cloud_reid_tpu.data import BatchLoader, SyntheticStore, \
+    build_pair_dataset
+from point_cloud_reid_tpu.configs import get_experiment
+from point_cloud_reid_tpu.models import build_model
+from point_cloud_reid_tpu.train import Trainer, TrainState, build_optimizer
+from point_cloud_reid_tpu.train.schedules import ScheduleConfig
+
+
+def _tiny_setup(tmp_path):
+    cfg = get_experiment("pts_point-transformer_point-cat_nus_det_4x256_500e")
+    mcfg = dict(cfg["model"])
+    mcfg["backbone"] = dict(mcfg["backbone"], mul=1)
+    mcfg["backbone_list"] = [8, 4, 2]
+    model = build_model(mcfg)
+    store = SyntheticStore(num_objects=80, frames_per_obj=4, seed=0,
+                           class_names=list(cfg["dataset"]["train"]["classes"]))
+    dcfg = dict(cfg["dataset"]["train"], subsample_sparse=16)
+    ds = build_pair_dataset(dcfg, store)
+    loader = BatchLoader(ds, batch_size=8, shuffle=True)
+    tx = build_optimizer(ScheduleConfig(max_epochs=1), steps_per_epoch=2)
+    runtime = dict(work_dir=str(tmp_path), seed=0, max_epochs=1,
+                   losses_to_use=dict(match=True), alpha={},
+                   cls_to_idx=cfg["dataset"]["cls_to_idx"],
+                   num_classes=cfg["dataset"]["num_classes"])
+    trainer = Trainer(model, tx, loader, loader, runtime)
+    batch = next(iter(loader))
+    state = TrainState.create(model, tx, batch, rng=jax.random.PRNGKey(0))
+    return trainer, state, batch
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    trainer, state, batch = _tiny_setup(tmp_path)
+    # advance a step so opt_state/step are non-trivial
+    from point_cloud_reid_tpu.parallel import shard_batch
+    dev_batch = shard_batch(trainer.mesh, batch)
+    state, _ = trainer.train_step(state, dev_batch, jax.random.PRNGKey(1))
+
+    trainer.save_checkpoint(state, tag="rt")
+    fresh = TrainState.create(trainer.model, trainer.tx, batch,
+                              rng=jax.random.PRNGKey(7))
+    restored = trainer.load_checkpoint(fresh, str(tmp_path / "ckpt_rt"))
+
+    assert int(restored.step) == int(state.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state.params)),
+                    jax.tree_util.tree_leaves(
+                        jax.device_get(restored.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restored too (resume_from semantics)
+    for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(state.opt_state)),
+            jax.tree_util.tree_leaves(jax.device_get(restored.opt_state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # restored state trains on
+    s2, log = trainer.train_step(restored, dev_batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(log["reid_loss"]))
