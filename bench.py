@@ -46,10 +46,12 @@ def main():
     tracks = jax.random.normal(jax.random.PRNGKey(3), (NT, NPTS, 3))
     xyz_t, h_t = scorer.embed(tracks)
 
+    # production fast path: embed(dets) + full grid in ONE jitted program
+    frame_fn = scorer.make_frame_fn(NT, ND)
+
     def frame():
-        # embed detections (amortized stage) + score the full grid
-        xyz_d, h_d = scorer.embed(dets)
-        return scorer.cost_matrix(h_t, xyz_t, h_d, xyz_d, pad=False)
+        mat, _, _ = frame_fn(h_t, xyz_t, dets)
+        return mat
 
     # warmup / compile
     jax.block_until_ready(frame())

@@ -184,6 +184,49 @@ class PairScorer:
             mat = jnp.where(jnp.asarray(ok), mat, -jnp.inf)
         return mat
 
+    def make_frame_fn(self, n_tracks: int, n_dets: int):
+        """Fully-fused tracking frame for fixed bucket sizes: ONE jitted
+        program runs embed(det_crops) + the full NxM grid score.
+
+        This is the production fast path: splitting embed and scoring into
+        two dispatches costs ~9x at frame scale (measured: 6.8M -> 59.8M
+        pairs/s/chip at 128x128) because each dispatch round-trips
+        host<->device. Returns fn(h_tracks, xyz_tracks, det_crops) ->
+        ((n_tracks, n_dets) logits, h_dets, xyz_dets).
+        """
+        model, image_mode = self.model, self.image_mode
+
+        @jax.jit
+        def frame(variables, h_t, xyz_t, det_crops):
+            if image_mode:
+                h_d = model.apply(variables, det_crops, train=False,
+                                  method="embed")
+                xyz_d = None
+            else:
+                xyz_d, h_d = model.apply(variables, det_crops, train=False,
+                                         method="embed")
+
+            def grid(a, b):
+                pa = jnp.broadcast_to(
+                    a[:, None], (n_tracks, n_dets) + a.shape[1:]
+                ).reshape((n_tracks * n_dets,) + a.shape[1:])
+                pb = jnp.broadcast_to(
+                    b[None, :], (n_tracks, n_dets) + b.shape[1:]
+                ).reshape((n_tracks * n_dets,) + b.shape[1:])
+                return pa, pb
+
+            h1, h2 = grid(h_t, h_d)
+            if image_mode:
+                logits = model.apply(variables, h1, h2, train=False,
+                                     method="match_logits")
+            else:
+                x1, x2 = grid(xyz_t, xyz_d)
+                logits, _ = model.apply(variables, h1, x1, h2, x2,
+                                        train=False, method="match_logits")
+            return logits.reshape(n_tracks, n_dets), h_d, xyz_d
+
+        return functools.partial(frame, self.variables)
+
     def score_frame(self, cache: FeatureCache, track_ids, det_crops,
                     track_classes=None, det_classes=None):
         """One tracking frame (10 Hz workload): embed new detections, score

@@ -98,3 +98,23 @@ def test_pair_sharded_cost_matrix_matches_unsharded():
     sharded = PairScorer(model, variables, mesh=mesh)
     got = np.asarray(sharded.cost_matrix(h, xyz, h, xyz, pad=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_frame_matches_two_stage():
+    from point_cloud_reid_tpu.inference import PairScorer
+    model = build_model(TINY)
+    batch = _batch(B=2, N=8)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    scorer = PairScorer(model, variables)
+
+    tracks = jax.random.normal(jax.random.PRNGKey(6), (4, 8, 3))
+    dets = jax.random.normal(jax.random.PRNGKey(7), (6, 8, 3))
+    xyz_t, h_t = scorer.embed(tracks)
+    xyz_d, h_d = scorer.embed(dets)
+    ref = np.asarray(scorer.cost_matrix(h_t, xyz_t, h_d, xyz_d, pad=False))
+
+    frame_fn = scorer.make_frame_fn(4, 6)
+    got, h_d2, _ = frame_fn(h_t, xyz_t, dets)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_d2), np.asarray(h_d),
+                               rtol=1e-6, atol=1e-6)
