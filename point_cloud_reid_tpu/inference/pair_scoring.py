@@ -188,20 +188,47 @@ class PairScorer:
             mat = jnp.where(jnp.asarray(ok), mat, -jnp.inf)
         return mat
 
-    def make_frame_fn(self, n_tracks: int, n_dets: int):
+    def make_frame_fn(self, n_tracks: int, n_dets: int,
+                      crop_points: Optional[int] = None):
         """Fully-fused tracking frame for fixed bucket sizes: ONE jitted
-        program runs embed(det_crops) + the full NxM grid score.
+        program runs [optional crop extraction +] embed(dets) + the full NxM
+        grid score.
 
         This is the production fast path: splitting embed and scoring into
         two dispatches costs ~9x at frame scale (measured: 6.8M -> 59.8M
         pairs/s/chip at 128x128) because each dispatch round-trips
-        host<->device. Returns fn(h_tracks, xyz_tracks, det_crops) ->
-        ((n_tracks, n_dets) logits, h_dets, xyz_dets).
+        host<->device.
+
+        Returns fn(h_tracks, xyz_tracks, dets) -> ((n_tracks, n_dets) logits,
+        h_dets, xyz_dets). With crop_points set (point mode only), `dets` is
+        (seed, sweep_points (N,3), boxes (n_dets,7)) and crops are extracted
+        on device (tracking.crops.extract_box_crops); otherwise `dets` is the
+        pre-cut crop batch. Weights are read from self.variables AT CALL TIME
+        (runtime argument, not baked into the executable), so checkpoint
+        swaps apply to already-compiled buckets.
         """
         model, image_mode = self.model, self.image_mode
+        assert not (image_mode and crop_points), \
+            "on-device box crops are a point-branch path"
+
+        def grid(a, b):
+            pa = jnp.broadcast_to(
+                a[:, None], (n_tracks, n_dets) + a.shape[1:]
+            ).reshape((n_tracks * n_dets,) + a.shape[1:])
+            pb = jnp.broadcast_to(
+                b[None, :], (n_tracks, n_dets) + b.shape[1:]
+            ).reshape((n_tracks * n_dets,) + b.shape[1:])
+            return pa, pb
 
         @jax.jit
-        def frame(variables, h_t, xyz_t, det_crops):
+        def frame(variables, h_t, xyz_t, dets):
+            if crop_points is not None:
+                from ..tracking.crops import extract_box_crops
+                seed, pts, boxes = dets
+                det_crops, _ = extract_box_crops(
+                    jax.random.PRNGKey(seed), pts, boxes, crop_points)
+            else:
+                det_crops = dets
             if image_mode:
                 h_d = model.apply(variables, det_crops, train=False,
                                   method="embed")
@@ -209,15 +236,6 @@ class PairScorer:
             else:
                 xyz_d, h_d = model.apply(variables, det_crops, train=False,
                                          method="embed")
-
-            def grid(a, b):
-                pa = jnp.broadcast_to(
-                    a[:, None], (n_tracks, n_dets) + a.shape[1:]
-                ).reshape((n_tracks * n_dets,) + a.shape[1:])
-                pb = jnp.broadcast_to(
-                    b[None, :], (n_tracks, n_dets) + b.shape[1:]
-                ).reshape((n_tracks * n_dets,) + b.shape[1:])
-                return pa, pb
 
             h1, h2 = grid(h_t, h_d)
             if image_mode:
@@ -229,7 +247,10 @@ class PairScorer:
                                         train=False, method="match_logits")
             return logits.reshape(n_tracks, n_dets), h_d, xyz_d
 
-        return functools.partial(frame, self.variables)
+        def call(h_t, xyz_t, dets):
+            return frame(self.variables, h_t, xyz_t, dets)
+
+        return call
 
     def score_frame(self, cache: FeatureCache, track_ids, det_crops,
                     track_classes=None, det_classes=None):

@@ -5,8 +5,9 @@ Equivalent of the reference TrackingManager / VirtualTracker step loop
 virtual_tracker.py:433-933): per frame — extract per-box crops, embed new
 detections once, score the full tracks x detections grid through the ReID
 match head, gate by class + BEV distance, associate, and update track
-lifecycle. The device side (crops, embeddings, cost matrix) is three jitted
-programs per frame; everything else is tiny host numpy.
+lifecycle. The whole per-frame device side (crop extraction + detection
+embedding + grid scoring) is ONE jitted program with one host fetch;
+everything else is tiny host numpy.
 """
 from __future__ import annotations
 
@@ -53,50 +54,25 @@ class TrackingManager:
         self.cache = FeatureCache()
         self.timestep = -1
         self._rng = jax.random.PRNGKey(seed)
+        # per-frame crop-RNG stream: constructor seed offsets the counter so
+        # distinct seeds give distinct subsampling draws in the fused path
+        self._seed = seed * 1_000_003
         # fused frame programs per (track, det) bucket (SURVEY §7 hard part 4:
         # variable counts -> bucketed padding, one compile per bucket)
         self._full_frame_fns = {}
 
     def _full_frame_fn(self, t_pad: int, d_pad: int):
-        """ONE jitted program for the entire frame's device work:
-        crop extraction + detection embedding + the full grid score.
-
-        Remote-device deployments (and dispatch-bound local ones) pay per
-        round-trip; fusing crops+embed+score and fetching results in a single
-        device_get took the measured frame time from 4.3 s (per-track
-        dispatches) -> 204 ms (host cache + fused score) -> ~80 ms."""
+        """ONE jitted program per (track, det) bucket for the frame's device
+        work (crops + embed + grid score), built by
+        PairScorer.make_frame_fn(crop_points=...). Fusing everything and
+        fetching results in a single device_get took the measured frame time
+        from 4.3 s (per-track dispatches) -> ~130 ms, tunnel-RTT bound
+        (~10 ms on local hardware)."""
         key = (t_pad, d_pad)
-        if key in self._full_frame_fns:
-            return self._full_frame_fns[key]
-        scorer, ssn = self.scorer, self.subsample_number
-        model = scorer.model
-
-        @jax.jit
-        def frame(seed, pts, boxes, h_t, xyz_t):
-            # PRNGKey derived on device: a host-side split would be one more
-            # round-trip per frame
-            rng = jax.random.PRNGKey(seed)
-            crops, _ = extract_box_crops(rng, pts, boxes, ssn)
-            xyz_d, h_d = model.apply(scorer.variables, crops, train=False,
-                                     method="embed")
-
-            def grid(a, b):
-                pa = jnp.broadcast_to(
-                    a[:, None], (t_pad, d_pad) + a.shape[1:]
-                ).reshape((t_pad * d_pad,) + a.shape[1:])
-                pb = jnp.broadcast_to(
-                    b[None, :], (t_pad, d_pad) + b.shape[1:]
-                ).reshape((t_pad * d_pad,) + b.shape[1:])
-                return pa, pb
-
-            h1, h2 = grid(h_t, h_d)
-            x1, x2 = grid(xyz_t, xyz_d)
-            logits, _ = model.apply(scorer.variables, h1, x1, h2, x2,
-                                    train=False, method="match_logits")
-            return logits.reshape(t_pad, d_pad), h_d, xyz_d
-
-        self._full_frame_fns[key] = frame
-        return frame
+        if key not in self._full_frame_fns:
+            self._full_frame_fns[key] = self.scorer.make_frame_fn(
+                t_pad, d_pad, crop_points=self.subsample_number)
+        return self._full_frame_fns[key]
 
     def reset(self):
         """New scene (VirtualTracker.reset)."""
@@ -108,6 +84,16 @@ class TrackingManager:
     def _next_rng(self):
         self._rng, k = jax.random.split(self._rng)
         return k
+
+    def _embed_dets(self, pts: np.ndarray, boxes_p: np.ndarray, D: int):
+        """Non-fused detection embedding (crops then embed)."""
+        crops, _ = extract_box_crops(
+            self._next_rng(), jnp.asarray(pts), jnp.asarray(boxes_p),
+            self.subsample_number)
+        xyz_d, h_d = self.scorer.embed(crops)
+        h_d = np.asarray(h_d)[:D]
+        xyz_d = np.asarray(xyz_d)[:D] if xyz_d is not None else None
+        return h_d, xyz_d
 
     def step(self, points: np.ndarray, det_boxes: np.ndarray,
              det_scores: np.ndarray, det_labels: np.ndarray
@@ -157,31 +143,30 @@ class TrackingManager:
             h_t, xyz_t = self.cache.gather(track_ids)
             T = len(track_ids)
             t_pad = _round_up(T)
-            if hasattr(self.scorer, "model"):
+            fused = (hasattr(self.scorer, "make_frame_fn")
+                     and not getattr(self.scorer, "image_mode", False))
+            if fused:
                 # fully-fused path: crops + embed + grid in ONE program,
                 # ONE device_get for everything this frame
                 frame_fn = self._full_frame_fn(t_pad, d_pad)
                 h_tp = np.pad(h_t, [(0, t_pad - T)] + [(0, 0)] * (h_t.ndim - 1))
                 xyz_tp = np.pad(xyz_t,
                                 [(0, t_pad - T)] + [(0, 0)] * (xyz_t.ndim - 1))
-                self._seed = getattr(self, "_seed", 0) + 1
+                self._seed += 1
                 inputs = jax.device_put(
-                    (np.int32(self._seed), pts, boxes_p,
-                     h_tp.astype(np.float32), xyz_tp.astype(np.float32)))
+                    (h_tp.astype(np.float32), xyz_tp.astype(np.float32),
+                     (np.int32(self._seed), pts, boxes_p)))
                 logits_p, h_dp, xyz_dp = jax.device_get(frame_fn(*inputs))
                 logits = logits_p[:T, :D]
                 h_d = h_dp[:D]
                 xyz_d = xyz_dp[:D]
             else:
-                crops, _ = extract_box_crops(
-                    self._next_rng(), jnp.asarray(pts), jnp.asarray(boxes_p),
-                    self.subsample_number)
-                xyz_d, h_d = self.scorer.embed(crops)
-                h_d = np.asarray(h_d)[:D]
-                xyz_d = np.asarray(xyz_d)[:D] if xyz_d is not None else None
+                h_d, xyz_d = self._embed_dets(pts, boxes_p, D)
                 logits = np.asarray(self.scorer.cost_matrix(
-                    jnp.asarray(h_t), jnp.asarray(xyz_t),
-                    jnp.asarray(h_d), jnp.asarray(xyz_d)))
+                    jnp.asarray(h_t),
+                    jnp.asarray(xyz_t) if xyz_t is not None else None,
+                    jnp.asarray(h_d),
+                    jnp.asarray(xyz_d) if xyz_d is not None else None))
             # class gating (get_labels_to_compare semantics) on host numpy
             logits = np.asarray(logits, np.float64)
             ok = (np.array([t.cls for t in active])[:, None]
@@ -196,12 +181,7 @@ class TrackingManager:
                 cost, threshold=self.match_threshold, method=self.method,
                 gate=gate)
         else:
-            crops, _ = extract_box_crops(
-                self._next_rng(), jnp.asarray(pts), jnp.asarray(boxes_p),
-                self.subsample_number)
-            xyz_d, h_d = self.scorer.embed(crops)
-            h_d = np.asarray(h_d)[:D]
-            xyz_d = np.asarray(xyz_d)[:D] if xyz_d is not None else None
+            h_d, xyz_d = self._embed_dets(pts, boxes_p, D)
             matches, unmatched_t, unmatched_d = [], [], list(range(D))
 
         for ti, di in matches:
