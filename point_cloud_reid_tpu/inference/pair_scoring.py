@@ -91,8 +91,16 @@ class PairScorer:
 
         @jax.jit
         def _embed(variables, pts):
-            return model.apply(variables, pts, train=False,
-                               method="embed")
+            if image_mode:
+                # backbone tokens + the per-token downsample MLP the match
+                # stages expect (ImageReidentifier applies downsample before
+                # pair scoring, ReIDNet.py:1232-1237 / :200-203)
+                toks = model.apply(variables, pts, train=False,
+                                   method="embed")
+                return model.apply(
+                    variables, toks, train=False,
+                    method=lambda m, x, train: m._downsample(x, train=train))
+            return model.apply(variables, pts, train=False, method="embed")
         self._embed = _embed
 
         @functools.partial(jax.jit, static_argnums=())
@@ -230,8 +238,11 @@ class PairScorer:
             else:
                 det_crops = dets
             if image_mode:
-                h_d = model.apply(variables, det_crops, train=False,
-                                  method="embed")
+                toks = model.apply(variables, det_crops, train=False,
+                                   method="embed")
+                h_d = model.apply(
+                    variables, toks, train=False,
+                    method=lambda m, x, train: m._downsample(x, train=train))
                 xyz_d = None
             else:
                 xyz_d, h_d = model.apply(variables, det_crops, train=False,

@@ -43,8 +43,15 @@ class TrackingManager:
     def __init__(self, scorer: PairScorer, subsample_number: int = 128,
                  match_threshold: float = 0.7, max_distance: float = 2.0,
                  method: str = "greedy", max_age: int = 3, min_hits: int = 1,
-                 nms_threshold: Optional[float] = None, seed: int = 0):
+                 nms_threshold: Optional[float] = None, seed: int = 0,
+                 crop_fn=None):
+        """crop_fn(frame_data, boxes_padded (M,7)) -> (M, ...) crops overrides
+        the default lidar extractor — the image branch passes a closure over
+        tracking.image_crops.crops_per_frame (ImageReidentifier workload,
+        tracking_point_reid.py:125-203). step()'s `points` argument is handed
+        to crop_fn verbatim in that case."""
         self.scorer = scorer
+        self.crop_fn = crop_fn
         self.subsample_number = subsample_number
         self.match_threshold = match_threshold
         self.max_distance = max_distance
@@ -85,11 +92,14 @@ class TrackingManager:
         self._rng, k = jax.random.split(self._rng)
         return k
 
-    def _embed_dets(self, pts: np.ndarray, boxes_p: np.ndarray, D: int):
+    def _embed_dets(self, pts, boxes_p: np.ndarray, D: int):
         """Non-fused detection embedding (crops then embed)."""
-        crops, _ = extract_box_crops(
-            self._next_rng(), jnp.asarray(pts), jnp.asarray(boxes_p),
-            self.subsample_number)
+        if self.crop_fn is not None:
+            crops = self.crop_fn(pts, boxes_p)
+        else:
+            crops, _ = extract_box_crops(
+                self._next_rng(), jnp.asarray(pts), jnp.asarray(boxes_p),
+                self.subsample_number)
         xyz_d, h_d = self.scorer.embed(crops)
         h_d = np.asarray(h_d)[:D]
         xyz_d = np.asarray(xyz_d)[:D] if xyz_d is not None else None
@@ -128,11 +138,14 @@ class TrackingManager:
 
         # device: crops + embeddings for all detections at once; sweep and
         # box counts are bucket-padded so programs compile once per bucket
-        n_pad = _round_up(max(len(points), 1),
-                          sizes=(2048, 8192, 32768, 131072, 524288))
-        pts = np.zeros((n_pad, 3), np.float32)
-        pts[:] = 1e6                               # padding far from any box
-        pts[:len(points)] = np.asarray(points, np.float32)[:, :3]
+        if self.crop_fn is None:
+            n_pad = _round_up(max(len(points), 1),
+                              sizes=(2048, 8192, 32768, 131072, 524288))
+            pts = np.zeros((n_pad, 3), np.float32)
+            pts[:] = 1e6                           # padding far from any box
+            pts[:len(points)] = np.asarray(points, np.float32)[:, :3]
+        else:
+            pts = points                           # opaque frame data
         d_pad = _round_up(D)
         boxes_p = np.full((d_pad, 7), 1e6, np.float32)
         boxes_p[:D] = det_boxes
@@ -144,7 +157,8 @@ class TrackingManager:
             T = len(track_ids)
             t_pad = _round_up(T)
             fused = (hasattr(self.scorer, "make_frame_fn")
-                     and not getattr(self.scorer, "image_mode", False))
+                     and not getattr(self.scorer, "image_mode", False)
+                     and self.crop_fn is None)
             if fused:
                 # fully-fused path: crops + embed + grid in ONE program,
                 # ONE device_get for everything this frame

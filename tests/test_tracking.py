@@ -249,3 +249,53 @@ def test_decision_modifier_teacher_forcing():
                             num_tracks=1, num_dets=2)
     assert out == [(0, 1)]
     assert dm.modify_newborns([2], [3]) == [2]
+
+
+def test_image_mode_tracking_with_camera_crops():
+    """Image-branch tracking: camera crops -> tiny ViT scorer -> identity kept
+    (the ImageReidentifier workload, tracking_point_reid.py:125-203)."""
+    from point_cloud_reid_tpu.inference import PairScorer
+    from point_cloud_reid_tpu.models import build_model
+    from point_cloud_reid_tpu.tracking import crops_per_frame
+
+    mcfg = dict(
+        type="ImageReIDNet", backbone="deit-tiny",
+        dim=192, downsample_dim=16, image_size=32,
+        combine="point-cat", match_type="xcorr_eff", pool_type="both",
+        downsample=[dict(type="Linear", out_features=16)],
+        cross_lin_attn=dict(type="cross_lin_attn", d_model=16, nhead=2),
+        match_head=[dict(type="Linear", out_features=1)],
+        output_sequence_size=6,
+    )
+    model = build_model(mcfg)
+    B = 2
+    batch = dict(sparse_1=jnp.zeros((B, 3, 32, 32)),
+                 sparse_2=jnp.zeros((B, 3, 32, 32)),
+                 id_1=jnp.zeros((B,), jnp.int32),
+                 id_2=jnp.zeros((B,), jnp.int32))
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    scorer = PairScorer(model, variables, image_mode=True)
+
+    # one synthetic camera looking down +x
+    l2c = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0],
+                    [0, 0, 0, 1]], np.float32)
+    K = np.array([[40, 0, 80], [0, 40, 45], [0, 0, 1]], np.float32)
+    images = jnp.asarray(np.random.RandomState(0).rand(1, 3, 90, 160)
+                         .astype(np.float32))
+
+    def crop_fn(_frame_data, boxes_p):
+        crops, _ = crops_per_frame(
+            images, jnp.asarray(l2c[None]), jnp.asarray(K[None]),
+            jnp.asarray(boxes_p), image_size=(160, 90), output_size=(32, 32))
+        return crops
+
+    mgr = TrackingManager(scorer, match_threshold=1.0, max_distance=5.0,
+                          crop_fn=crop_fn)
+    for t in range(3):
+        boxes = np.array([[10.0 + 0.2 * t, 0, 0, 2, 2, 2, 0.0],
+                          [10.0, 3, 0, 2, 2, 2, 0.0]], np.float32)
+        tracks = mgr.step(None, boxes, np.ones(2, np.float32),
+                          np.zeros(2, np.int64))
+    assert len(mgr.store) == 2
+    ids = sorted(t.track_id for t in tracks)
+    assert ids == [0, 1]            # no identity churn over 3 frames
