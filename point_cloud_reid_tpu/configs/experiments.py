@@ -165,8 +165,10 @@ for _ds_name, _ds_fn, _nc, _e in (("nus", D.nuscenes_pts, 10, 500),
         _register(base, _mk)
         _register("testing_" + base, _testing(_mk))
         for _a in (2, 4, 8):
+            # bind _mk via default arg: a bare closure would late-bind to the
+            # LAST loop iteration's factory
             _register(f"{base}_accum{_a}",
-                      (lambda a: lambda **kw: _mk(accum=a, **kw))(_a))
+                      (lambda a, mk=_mk: lambda **kw: mk(accum=a, **kw))(_a))
     # point-count ablations (reid_waymo_pts/num_point_ablation/*,
     # reid_nuscenes_pts/num_point_ablation/*; 3 backbone families)
     for _m_name in ("point-transformer_point-cat", "pointnet_point-cat",

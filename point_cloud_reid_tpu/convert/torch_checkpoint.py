@@ -299,6 +299,7 @@ def convert_image_reidnet_state_dict(
         else:
             rest_sd[k] = v
 
+    import jax
     import jax.numpy as jnp
     new_backbone, unmatched_bb = convert_hf_vit_state_dict(
         backbone_sd, variables["params"]["backbone"])

@@ -254,9 +254,13 @@ class ValEvenPairs(PairDataset):
     """
 
     def __init__(self, *args, max_combinations: int = 10,
-                 validation_seed: int = 0, **kwargs):
+                 validation_seed: int = 0, build_pairs: bool = True, **kwargs):
         super().__init__(*args, seed=validation_seed, **kwargs)
         self.max_combinations = max_combinations
+        self.val_positives = []
+        self.val_negatives = []
+        if not build_pairs:      # subclasses that derive their own pair lists
+            return
         rng = self.rng
 
         import itertools
@@ -405,7 +409,7 @@ class ValErrPairs(ValEvenPairs):
                  **kwargs):
         self._err_filepath = err_filepath
         self._sample_to_frame = sample_to_frame or (lambda s: str(s))
-        super().__init__(*args, **kwargs)
+        super().__init__(*args, build_pairs=False, **kwargs)
 
         tes = TrackingErrorsSampler(err_filepath)
         s2f = self._sample_to_frame

@@ -70,6 +70,28 @@ def _round_up(n: int, sizes=(8, 16, 32, 64, 128, 256, 512)) -> int:
     return int(2 ** np.ceil(np.log2(max(n, 1))))
 
 
+def _pair_grid(a: jnp.ndarray, b: jnp.ndarray, nt: int, nd: int):
+    """Broadcast per-object tensors to the flattened (nt*nd, ...) pair batch
+    (XLA fuses the expand+reshape into the first matmul's loads)."""
+    pa = jnp.broadcast_to(a[:, None], (nt, nd) + a.shape[1:]
+                          ).reshape((nt * nd,) + a.shape[1:])
+    pb = jnp.broadcast_to(b[None, :], (nt, nd) + b.shape[1:]
+                          ).reshape((nt * nd,) + b.shape[1:])
+    return pa, pb
+
+
+def _embed_tokens(model, variables, crops, image_mode: bool):
+    """Backbone embedding; image mode applies the per-token downsample MLP
+    the match stages expect (ReIDNet.py:1232-1237)."""
+    if image_mode:
+        toks = model.apply(variables, crops, train=False, method="embed")
+        h = model.apply(variables, toks, train=False,
+                        method=lambda m, x, train: m._downsample(
+                            x, train=train))
+        return None, h
+    return model.apply(variables, crops, train=False, method="embed")
+
+
 class PairScorer:
     """Batched NxM match scoring on top of a ReIDNet-family model.
 
@@ -91,16 +113,8 @@ class PairScorer:
 
         @jax.jit
         def _embed(variables, pts):
-            if image_mode:
-                # backbone tokens + the per-token downsample MLP the match
-                # stages expect (ImageReidentifier applies downsample before
-                # pair scoring, ReIDNet.py:1232-1237 / :200-203)
-                toks = model.apply(variables, pts, train=False,
-                                   method="embed")
-                return model.apply(
-                    variables, toks, train=False,
-                    method=lambda m, x, train: m._downsample(x, train=train))
-            return model.apply(variables, pts, train=False, method="embed")
+            xyz, h = _embed_tokens(model, variables, pts, image_mode)
+            return h if image_mode else (xyz, h)
         self._embed = _embed
 
         @functools.partial(jax.jit, static_argnums=())
@@ -161,14 +175,8 @@ class PairScorer:
         h_t, h_d = pad0(h_tracks, nt_p), pad0(h_dets, nd_p)
         x_t, x_d = pad0(xyz_tracks, nt_p), pad0(xyz_dets, nd_p)
 
-        # build the P = nt_p * nd_p pair batch by broadcasting (XLA fuses the
-        # expand+reshape into the first matmul's loads; no host gather)
         def grid(a, b):
-            pa = jnp.broadcast_to(a[:, None], (nt_p, nd_p) + a.shape[1:]
-                                  ).reshape((nt_p * nd_p,) + a.shape[1:])
-            pb = jnp.broadcast_to(b[None, :], (nt_p, nd_p) + b.shape[1:]
-                                  ).reshape((nt_p * nd_p,) + b.shape[1:])
-            return pa, pb
+            return _pair_grid(a, b, nt_p, nd_p)
 
         def maybe_shard(x):
             if x is None or self.mesh is None:
@@ -219,15 +227,6 @@ class PairScorer:
         assert not (image_mode and crop_points), \
             "on-device box crops are a point-branch path"
 
-        def grid(a, b):
-            pa = jnp.broadcast_to(
-                a[:, None], (n_tracks, n_dets) + a.shape[1:]
-            ).reshape((n_tracks * n_dets,) + a.shape[1:])
-            pb = jnp.broadcast_to(
-                b[None, :], (n_tracks, n_dets) + b.shape[1:]
-            ).reshape((n_tracks * n_dets,) + b.shape[1:])
-            return pa, pb
-
         @jax.jit
         def frame(variables, h_t, xyz_t, dets):
             if crop_points is not None:
@@ -237,16 +236,11 @@ class PairScorer:
                     jax.random.PRNGKey(seed), pts, boxes, crop_points)
             else:
                 det_crops = dets
-            if image_mode:
-                toks = model.apply(variables, det_crops, train=False,
-                                   method="embed")
-                h_d = model.apply(
-                    variables, toks, train=False,
-                    method=lambda m, x, train: m._downsample(x, train=train))
-                xyz_d = None
-            else:
-                xyz_d, h_d = model.apply(variables, det_crops, train=False,
-                                         method="embed")
+            xyz_d, h_d = _embed_tokens(model, variables, det_crops,
+                                       image_mode)
+
+            def grid(a, b):
+                return _pair_grid(a, b, n_tracks, n_dets)
 
             h1, h2 = grid(h_t, h_d)
             if image_mode:

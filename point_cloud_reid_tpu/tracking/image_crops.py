@@ -32,8 +32,8 @@ def project_boxes(boxes: jnp.ndarray, lidar2cam: jnp.ndarray,
         image_size: (W, H).
     Returns:
         corners_2d: (M, 8, 2) pixel coordinates.
-        visible: (M,) bool — all corners in front of the camera AND the
-            clamped 2D box non-degenerate (BoxVisibility.ANY semantics).
+        visible: (M,) bool — at least one corner in front of the camera AND
+            the clamped 2D box non-degenerate (BoxVisibility.ANY semantics).
     """
     b = boxes.at[:, 2].add(-boxes[:, 5] * 0.5)          # gravity -> bottom z
     corners = box_corners_3d(b)                          # (M, 8, 3) lidar
@@ -46,7 +46,9 @@ def project_boxes(boxes: jnp.ndarray, lidar2cam: jnp.ndarray,
     uv = uvw[..., :2] / z[..., None]
 
     W, H = image_size
-    in_front = jnp.all(cam[..., 2] > 0.1, axis=1)
+    # BoxVisibility.ANY: a single corner in front suffices (boxes straddling
+    # the camera plane keep their clamped in-image extent)
+    in_front = jnp.any(cam[..., 2] > 0.1, axis=1)
     # ANY visibility: the clamped box must retain area
     x0 = jnp.clip(jnp.min(uv[..., 0], axis=1), 0, W)
     x1 = jnp.clip(jnp.max(uv[..., 0], axis=1), 0, W)

@@ -32,7 +32,8 @@ def main(argv=None):
     from point_cloud_reid_tpu.configs import get_experiment
     from point_cloud_reid_tpu.convert import (convert_reidnet_state_dict,
                                               load_torch_state_dict)
-    from point_cloud_reid_tpu.convert.torch_checkpoint import IMAGE_SKIP_PATTERNS
+    from point_cloud_reid_tpu.convert.torch_checkpoint import (
+        convert_image_reidnet_state_dict)
     from point_cloud_reid_tpu.models import build_model
 
     cfg = get_experiment(args.experiment)
@@ -49,9 +50,12 @@ def main(argv=None):
     variables = model.init(jax.random.PRNGKey(0), example, train=False)
 
     sd = load_torch_state_dict(args.checkpoint)
-    variables, report = convert_reidnet_state_dict(
-        sd, variables, strict=not args.no_strict,
-        extra_skip_patterns=tuple(IMAGE_SKIP_PATTERNS) if args.image else ())
+    if args.image:
+        variables, report = convert_image_reidnet_state_dict(
+            sd, variables, strict=not args.no_strict)
+    else:
+        variables, report = convert_reidnet_state_dict(
+            sd, variables, strict=not args.no_strict)
 
     import orbax.checkpoint as ocp
     path = os.path.abspath(args.out_dir)
