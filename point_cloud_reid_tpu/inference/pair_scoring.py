@@ -86,8 +86,7 @@ def _embed_tokens(model, variables, crops, image_mode: bool):
     if image_mode:
         toks = model.apply(variables, crops, train=False, method="embed")
         h = model.apply(variables, toks, train=False,
-                        method=lambda m, x, train: m._downsample(
-                            x, train=train))
+                        method="downsample_tokens")
         return None, h
     return model.apply(variables, crops, train=False, method="embed")
 
@@ -145,8 +144,7 @@ class PairScorer:
         """Apply the per-token downsample MLP used before matching
         (ReIDNet.py:1232-1237)."""
         return self.model.apply(self.variables, h, train=False,
-                                method=lambda m, x, train: m._downsample(
-                                    x, train=train))
+                                method="downsample_tokens")
 
     # ---- scoring stage --------------------------------------------------------
 

@@ -74,6 +74,21 @@ class ImageReIDNet(nn.Module):
         h = self.embed(jnp.concatenate([img_1, img_2], axis=0), train=train)
         return h[:b], h[b:]
 
+    def downsample_tokens(self, h: jnp.ndarray, train: bool = False
+                          ) -> jnp.ndarray:
+        """Per-token downsample dim -> downsample_dim before matching.
+
+        Applied on flattened (B*S, C) rows so the LinearRes GroupNorm
+        normalizes each token independently (torch GroupNorm on 2-D input).
+        The reference reshapes (b, c, s) -> (-1, c) with s != c
+        (ReIDNet.py:1233-1234), which scrambles tokens across the channel
+        axis — a documented bug we do not carry; the per-token semantics here
+        are the intended ones.
+        """
+        b, s_len, c = h.shape
+        hd = self._downsample(h.reshape(-1, c), train=train)
+        return hd.reshape(b, s_len, -1)
+
     # ---- match -------------------------------------------------------------
 
     def _combine(self, o1, o2):
@@ -129,9 +144,7 @@ class ImageReIDNet(nn.Module):
         if "id_1" in batch:
             out["match"] = (batch["id_1"] == batch["id_2"]).astype(jnp.float32)
 
-        # per-token downsample dim -> downsample_dim before matching
-        # (forward_train, ReIDNet.py:1232-1237)
-        hd = self._downsample(h_cat, train=train)
+        hd = self.downsample_tokens(h_cat, train=train)
         b = h1.shape[0]
         h1d, h2d = hd[:b], hd[b:]
         out["h1d"], out["h2d"] = h1d, h2d
