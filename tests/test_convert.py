@@ -217,3 +217,72 @@ def test_conv_bn_parity():
     got = np.asarray(fmod.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref,
                                rtol=1e-4, atol=1e-4)
+
+
+class TorchLocalSelfAttention(tnn.Module):
+    """local_self_attention replica (attention.py:221-296): per-point
+    feature-space kNN neighborhood attention, channel-last here."""
+
+    def __init__(self, d, nhead=2, knum=4, pos_size=None):
+        super().__init__()
+        pos_size = pos_size or d
+        self.nhead, self.dim, self.knum = nhead, d // nhead, knum
+        self.d_model = d
+        self.pos_mlp_knn = tnn.Sequential(tnn.Linear(3, pos_size), tnn.ReLU(),
+                                          tnn.Linear(pos_size, pos_size))
+        self.q_proj_knn = tnn.Linear(d, d, bias=False)
+        self.k_proj_knn = tnn.Linear(d, d, bias=False)
+        self.v_proj_knn = tnn.Linear(d, d, bias=False)
+        self.attention_knn = TorchLinearAttention()
+        self.merge_knn = tnn.Linear(d, d, bias=False)
+        self.mlp_knn = tnn.Sequential(tnn.Linear(2 * d, 2 * d, bias=False),
+                                      tnn.ReLU(),
+                                      tnn.Linear(2 * d, d, bias=False))
+        self.norm1_knn = tnn.LayerNorm(d)
+        self.norm2_knn = tnn.LayerNorm(d)
+
+    def forward(self, feat, xyz):               # feat (B,N,C), xyz (B,N,3)
+        B, N, C = feat.shape
+        k = self.knum
+        d = torch.cdist(feat, feat) ** 2
+        idx = (-d).topk(k=k, dim=-1)[1]          # feature-space knn
+        base = torch.arange(B).view(-1, 1, 1) * N
+        flat = (idx + base).view(-1)
+        fea_knn = feat.reshape(B * N, C)[flat].view(B * N, k, C)
+        xyz_knn = xyz.reshape(B * N, 3)[flat].view(B * N, k, 3)
+
+        feat_flat = feat.reshape(B * N, 1, C)
+        center_pos = feat_flat + self.pos_mlp_knn(xyz.reshape(B * N, 1, 3))
+        neigh_pos = fea_knn + self.pos_mlp_knn(xyz_knn)
+
+        q = self.q_proj_knn(center_pos).view(B * N, 1, self.nhead, self.dim)
+        kk = self.k_proj_knn(neigh_pos).view(B * N, k, self.nhead, self.dim)
+        vv = self.v_proj_knn(neigh_pos).view(B * N, k, self.nhead, self.dim)
+        msg = self.attention_knn(q, kk, vv)
+        msg = self.merge_knn(msg.reshape(B * N, 1, self.d_model))
+        msg = self.norm1_knn(msg)
+        msg = self.mlp_knn(torch.cat([feat_flat, msg], dim=2))
+        msg = self.norm2_knn(msg)
+        return (feat_flat + msg).view(B, N, self.d_model)
+
+
+def test_local_self_attention_parity():
+    from point_cloud_reid_tpu.models.attention_blocks import LocalSelfAttention
+
+    torch.manual_seed(4)
+    d, B, N, k = 16, 2, 12, 4
+    tmod = TorchLocalSelfAttention(d, knum=k).eval()
+    rs = np.random.RandomState(5)
+    feat = rs.randn(B, N, d).astype(np.float32)
+    xyz = rs.randn(B, N, 3).astype(np.float32)
+
+    fmod = LocalSelfAttention(d_model=d, nhead=2, knum=k, pos_size=d)
+    variables = fmod.init(jax.random.PRNGKey(0), jnp.asarray(feat),
+                          jnp.asarray(xyz))
+    variables = _convert(tmod, variables)
+
+    with torch.no_grad():
+        ref = tmod(torch.from_numpy(feat), torch.from_numpy(xyz)).numpy()
+    got = np.asarray(fmod.apply(variables, jnp.asarray(feat),
+                                jnp.asarray(xyz)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
