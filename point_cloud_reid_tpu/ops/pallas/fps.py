@@ -24,20 +24,34 @@ from ._common import argmax_first, interpret_default
 
 
 def _fps_kernel(start_ref, xyz_ref, out_ref, dist_scratch, *, npoint: int):
-    """One batch row: xyz (N, 3) -> out (1, npoint) int32 indices."""
+    """One batch row: xyz (N, 3) -> out (1, npoint) int32 indices.
+
+    `start_ref` is the scalar-prefetch (B,) start-index array
+    (pltpu.PrefetchScalarGridSpec) — SMEM blocks of rank-1 arrays are not
+    tileable on real TPUs, scalar prefetch is the supported route."""
     xyz = xyz_ref[...]                                     # (N, C)
     dist_scratch[...] = jnp.full(dist_scratch.shape, 1e10, jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, xyz.shape[:1] + (1,), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
 
-    def body(i, farthest):
-        out_ref[0, pl.ds(i, 1)] = farthest[None]
-        centroid = jax.lax.dynamic_slice_in_dim(xyz, farthest, 1, axis=0)  # (1, C)
+    def body(i, carry):
+        farthest, acc = carry
+        # both the output write and the centroid gather use vector selects:
+        # Mosaic supports neither dynamic-lane stores nor dynamic_slice on
+        # values inside kernels
+        acc = jnp.where(lanes == i, farthest, acc)         # (1, npoint)
+        sel = (rows == farthest).astype(xyz.dtype)         # (N, 1)
+        centroid = jnp.sum(xyz * sel, axis=0, keepdims=True)   # (1, C)
         d = jnp.sum((xyz - centroid) ** 2, axis=-1)[None]  # (1, N)
         nd = jnp.minimum(dist_scratch[...], d)
         dist_scratch[...] = nd
         _, idx = argmax_first(nd, axis=-1)                 # (1,)
-        return idx[0]
+        return idx[0], acc
 
-    jax.lax.fori_loop(0, npoint, body, start_ref[0])
+    acc0 = jnp.zeros((1, npoint), jnp.int32)
+    _, acc = jax.lax.fori_loop(0, npoint, body,
+                               (start_ref[pl.program_id(0)], acc0))
+    out_ref[...] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
@@ -60,17 +74,21 @@ def fps_pallas(xyz: jnp.ndarray, npoint: int,
     if start is None:
         start = jnp.zeros((B,), jnp.int32)
 
-    return pl.pallas_call(
-        functools.partial(_fps_kernel, npoint=npoint),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, N, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((None, N, C), lambda b, start_ref: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, 1, npoint), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((None, 1, npoint),
+                               lambda b, start_ref: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, npoint), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, N), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_fps_kernel, npoint=npoint),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, npoint), jnp.int32),
         interpret=interpret,
     )(start.astype(jnp.int32), xyz.astype(jnp.float32))[:, 0, :]

@@ -25,16 +25,23 @@ from ._common import interpret_default
 from ..attention import linear_attention as _linear_attention_xla
 
 
+def _elu1(x):
+    # elu(x) + 1 without expm1 (unimplemented in Mosaic TC lowering)
+    return jnp.where(x > 0, x + 1.0, jnp.exp(jnp.minimum(x, 0.0)))
+
+
 def _lin_attn_kernel(q_ref, k_ref, v_ref, out_ref, *, eps: float):
     """One (batch, head): q (L, D), k (S, D), v (S, V) -> out (L, V)."""
-    Q = jax.nn.elu(q_ref[...]) + 1.0
-    K = jax.nn.elu(k_ref[...]) + 1.0
+    Q = _elu1(q_ref[...])
+    K = _elu1(k_ref[...])
     V = v_ref[...]
     v_length = V.shape[0]
     V = V / v_length                       # fp16-era rescale, numerical parity
-    KV = jnp.dot(K.T, V, preferred_element_type=jnp.float32)     # (D, V)
-    Ksum = jnp.sum(K, axis=0, keepdims=True)                     # (1, D)
-    Z = 1.0 / (jnp.dot(Q, Ksum.T, preferred_element_type=jnp.float32) + eps)
+    # contract over S without explicit transposes (Mosaic-friendly)
+    KV = jax.lax.dot_general(K, V, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (D, V)
+    Ksum = jnp.sum(K, axis=0, keepdims=True)                      # (1, D)
+    Z = 1.0 / (jnp.sum(Q * Ksum, axis=-1, keepdims=True) + eps)   # (L, 1)
     out_ref[...] = jnp.dot(Q, KV, preferred_element_type=jnp.float32) \
         * Z * v_length
 
@@ -42,25 +49,30 @@ def _lin_attn_kernel(q_ref, k_ref, v_ref, out_ref, *, eps: float):
 def _forward(queries, keys, values, eps, interpret):
     B, L, H, D = queries.shape
     _, S, _, V = values.shape
-    # (B, L, H, D) -> (B, H, L, D) so each grid step owns one contiguous head.
-    q = jnp.transpose(queries, (0, 2, 1, 3)).astype(jnp.float32)
-    k = jnp.transpose(keys, (0, 2, 1, 3)).astype(jnp.float32)
-    v = jnp.transpose(values, (0, 2, 1, 3)).astype(jnp.float32)
+    # (B, L, H, D) -> (B*H, L, D): one grid step per (batch, head); a single
+    # flattened grid axis keeps the block specs to one squeezed dim (Mosaic
+    # is touchy about multiple squeezed leading dims)
+    q = jnp.transpose(queries, (0, 2, 1, 3)).reshape(B * H, L, D).astype(
+        jnp.float32)
+    k = jnp.transpose(keys, (0, 2, 1, 3)).reshape(B * H, S, D).astype(
+        jnp.float32)
+    v = jnp.transpose(values, (0, 2, 1, 3)).reshape(B * H, S, V).astype(
+        jnp.float32)
 
     out = pl.pallas_call(
         functools.partial(_lin_attn_kernel, eps=eps),
-        grid=(B, H),
+        grid=(B * H,),
         in_specs=[
-            pl.BlockSpec((None, None, L, D), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((None, L, D), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, S, D), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((None, S, D), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, S, V), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((None, S, V), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, None, L, V), lambda b, h: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((None, L, V), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, L, V), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B * H, L, V), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * (S * D * V + L * D * V + L * D),
             bytes_accessed=4 * B * H * (L * D + S * D + S * V + L * V),
@@ -68,6 +80,7 @@ def _forward(queries, keys, values, eps, interpret):
         ),
         interpret=interpret,
     )(q, k, v)
+    out = out.reshape(B, H, L, V)
     return jnp.transpose(out, (0, 2, 1, 3)).astype(queries.dtype)
 
 
