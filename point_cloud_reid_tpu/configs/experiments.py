@@ -219,13 +219,17 @@ for _ds_name, _img_ds, _nc, _e in (("nus", D.nuscenes_image, 10, 200),
                      ("deit-base-no-pt", "deit-base_point-cat_r"),
                      ("beit", "beit-base-lin-xcorr")):
         def _mk_img(v=_v, img_ds=_img_ds, nc=_nc, e=_e, **kw):
-            return compose(
+            cfg = compose(
                 img_ds(**kw),
                 M.image_deit_point_cat(v, num_classes=nc,
                                        pretrained="no-pt" not in v),
                 schedule(f"cyclic_{e}e_lr1e-5"),
                 losses_to_use=dict(match=True, cls=True, fp=True, vis=True,
                                    triplet=True))
+            # image leaves set triplet_loss=dict(margin=10, p=2)
+            # (rgb_deit-*_point-cat_*.py:25-27); point default is 0.2
+            cfg["triplet_margin"] = 10.0
+            return cfg
         name = f"rgb_{_tag}_{_ds_name}_det_4x60_{_e}e"
         _register(name, _mk_img)
         _register("testing_" + name, _testing(_mk_img))

@@ -104,6 +104,8 @@ def build_all(cfg, args):
         losses_to_use=cfg["losses_to_use"], alpha=cfg["alpha"],
         cls_to_idx=dcfg["cls_to_idx"], num_classes=dcfg["num_classes"],
         fp_label_threshold=dcfg["fp_label_threshold"],
+        triplet_margin=cfg.get("triplet_margin", 0.2),
+        triplet_sample_num=cfg.get("triplet_sample_num", 5),
     )
     trainer = Trainer(model, tx, train_loader, val_loader, runtime, mesh=mesh)
 
