@@ -77,6 +77,12 @@ class CropStore:
     # ---- frame filtering (object_loader_base.py:99-141) ---------------------
 
     def filtered_frames(self, rec: ObjectRecord) -> List[str]:
+        """Usable frames under filter_mode ('pts'|'vis'|'pts and vis'|'both'),
+        mirroring get_filtered_nums (object_loader_base.py:99-141). For Waymo
+        the reference keys 'visibility' off box2d presence
+        (object_loader_base.py:377-431) — the store exporter writes that
+        presence into ObjectRecord.visibility, so one implementation covers
+        both datasets."""
         def by_pts(frames):
             return [f for f in frames if rec.num_pts.get(f, 0) >= self.min_points]
 
