@@ -100,8 +100,18 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        window = threading.Condition()
+        delivered = [0]
+
         def worker(worker_id: int):
             for b in range(worker_id, nb, self.num_threads):
+                # bound total in-flight batches: without this gate a slow
+                # batch lets fast workers run ahead and the consumer's
+                # reordering dict grows unboundedly
+                with window:
+                    window.wait_for(
+                        lambda: stop.is_set()
+                        or b < delivered[0] + self.prefetch + self.num_threads)
                 if stop.is_set():
                     return
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
@@ -126,8 +136,13 @@ class BatchLoader:
                 yield pending.pop(want)
                 want += 1
                 got += 1
+                with window:
+                    delivered[0] = want
+                    window.notify_all()
         finally:
             stop.set()
+            with window:
+                window.notify_all()
             # drain so workers blocked on put() can exit
             while not q.empty():
                 q.get_nowait()

@@ -56,7 +56,8 @@ class PairDataset:
                  tracking_classes: Dict[str, str],
                  complete_store=None,
                  subsample_sparse: int = 128, subsample_dense: int = 2048,
-                 mode: str = "points", min_pos_frames: int = 2, seed: int = 0):
+                 mode: str = "points", min_pos_frames: int = 2, seed: int = 0,
+                 with_dense: bool = False):
         self.store = store
         self.classes = list(classes)
         self.cls_to_idx = dict(cls_to_idx)
@@ -73,6 +74,7 @@ class PairDataset:
         self.subsample_sparse = subsample_sparse
         self.subsample_dense = subsample_dense
         self.mode = mode
+        self.with_dense = with_dense
         self.seed = seed
         self.epoch = 0
         self.rng = np.random.RandomState(seed)  # construction-time draws only
@@ -123,9 +125,12 @@ class PairDataset:
 
     def _sample_rng(self, i: int) -> np.random.RandomState:
         """Counter-based per-sample stream: a pure function of
-        (seed, epoch, index), so thread scheduling can't perturb it."""
-        return np.random.RandomState(
-            (self.seed * 1000003 + self.epoch * 8191 + i) % (2 ** 31 - 1))
+        (seed, epoch, index), so thread scheduling can't perturb it.
+        SeedSequence mixing avoids the collisions of linear seed arithmetic
+        (seed*A + epoch*B + i would make epoch e+1 replay epoch e shifted
+        by B for datasets longer than B samples)."""
+        ss = np.random.SeedSequence([self.seed, self.epoch, i])
+        return np.random.RandomState(ss.generate_state(4))
 
     def _int_id(self, tok: str) -> int:
         """Stable int identity; -1 for FP objects (the reference maps FP dense
@@ -228,9 +233,13 @@ class PairDataset:
         if self.mode == "points":
             s1 = subsample_pc_np(rng, s1, self.subsample_sparse)
             s2 = subsample_pc_np(rng, s2, self.subsample_sparse)
-            d1 = subsample_pc_np(rng, d1, self.subsample_dense)
-            d2 = subsample_pc_np(rng, d2, self.subsample_dense)
-            item = dict(sparse_1=s1, sparse_2=s2, dense_1=d1, dense_2=d2)
+            item = dict(sparse_1=s1, sparse_2=s2)
+            if self.with_dense:
+                # dense complete shapes feed only the shape/dense losses;
+                # shipping the (2048, 3) tensors when those are off wastes
+                # ~97% of per-step host->device transfer
+                item["dense_1"] = subsample_pc_np(rng, d1, self.subsample_dense)
+                item["dense_2"] = subsample_pc_np(rng, d2, self.subsample_dense)
         else:
             size_1 = size_2 = self.subsample_sparse  # image tokens are fixed
             item = dict(sparse_1=s1.astype(np.float32),
@@ -292,9 +301,19 @@ class ValEvenPairs(PairDataset):
         return other, cls2, frame
 
     def __len__(self) -> int:
-        return 2 * len(self.val_positives)
+        return len(self.val_positives) + len(self.val_negatives)
+
+    def _perm(self, idx: int) -> int:
+        """Deterministic shuffle of the pos-then-neg pair order so bounded
+        (drop_last) eval batches keep both classes instead of truncating
+        only trailing negatives."""
+        if getattr(self, "_perm_cache", None) is None or                 len(self._perm_cache) != len(self):
+            r = np.random.RandomState(self.seed + 0x5EED)
+            self._perm_cache = r.permutation(len(self))
+        return int(self._perm_cache[idx])
 
     def sample(self, idx: int) -> Dict[str, Any]:
+        idx = self._perm(idx)
         rng = self._sample_rng(idx)
         if idx < len(self.val_positives):
             x = self.val_positives[idx]
@@ -336,6 +355,7 @@ def build_pair_dataset(cfg: Dict[str, Any], store, complete_store=None):
         subsample_sparse=cfg.get("subsample_sparse", 128),
         subsample_dense=cfg.get("subsample_dense", 2048),
         mode=cfg.get("mode", "points"),
+        with_dense=cfg.get("with_dense", False),
     )
     split = cfg.get("split", "train")
     if split == "val" and cfg.get("err_filepath"):

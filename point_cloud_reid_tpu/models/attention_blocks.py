@@ -180,7 +180,10 @@ class LocalSelfAttention(nn.Module):
     d_model: int
     nhead: int
     knum: int = 32
-    pos_size: int = 16
+    pos_size: Optional[int] = None   # must equal d_model when set (the pos
+                                     # output is ADDED to d_model features —
+                                     # same constraint as the reference,
+                                     # attention.py:62-63)
     attention: str = "linear"
     dtype: Any = jnp.float32
 
@@ -192,9 +195,12 @@ class LocalSelfAttention(nn.Module):
 
         # NOTE: pos_size < d_model relies on broadcasting in the reference;
         # we project pos to d_model-compatible size by matching the reference:
-        # pos_mlp_knn outputs pos_size and is ADDED to features, so pos_size must
-        # equal d_model in working configs; we enforce it here.
-        pos_dim = self.pos_size if self.pos_size == self.d_model else self.d_model
+        if self.pos_size is not None and self.pos_size != self.d_model:
+            raise ValueError(
+                f"local_self_attention pos_size={self.pos_size} must equal "
+                f"d_model={self.d_model}: the positional encoding is added "
+                "to the features (reference attention.py:62-63)")
+        pos_dim = self.d_model
 
         kidx = knn_feature_space(jnp.swapaxes(search_feat, -1, -2), k)   # (B,N,k)
         fea_knn = index_points(search_feat, kidx)                        # (B,N,k,C)

@@ -109,7 +109,7 @@ def build_stage(cfg: Optional[Spec], dtype=jnp.float32, name: str = "stage"):
         return CrossLinAttn(**kw)
     if t == "local_self_attention":
         return LocalSelfAttention(knum=cfg.get("knum", 32),
-                                  pos_size=cfg.get("pos_size", 16), **kw)
+                                  pos_size=cfg.get("pos_size"), **kw)
     if t == "Self_Attention":
         return SelfAttentionBlock(**kw)
     raise NotImplementedError(f"stage type {t}")

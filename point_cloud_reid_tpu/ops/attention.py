@@ -68,9 +68,13 @@ def full_attention(
     """Softmax attention fallback (reference attention.py:56-91, unused by released
     configs but part of the capability surface)."""
     QK = jnp.einsum("nlhd,nshd->nlsh", queries, keys)
-    if kv_mask is not None and q_mask is not None:
-        mask = q_mask[:, :, None, None] * kv_mask[:, None, :, None]
-        QK = jnp.where(mask.astype(bool), QK, -jnp.inf)
+    if q_mask is not None or kv_mask is not None:
+        mask = jnp.ones(QK.shape[:3] + (1,), bool)
+        if q_mask is not None:
+            mask = mask & q_mask[:, :, None, None].astype(bool)
+        if kv_mask is not None:
+            mask = mask & kv_mask[:, None, :, None].astype(bool)
+        QK = jnp.where(mask, QK, -jnp.inf)
     temp = 1.0 / jnp.sqrt(queries.shape[3])
     A = jax.nn.softmax(temp * QK, axis=2)
     A = jnp.nan_to_num(A)

@@ -176,10 +176,20 @@ class Trainer:
         ckptr.save(path, jax.device_get(state), force=True)
 
     def load_checkpoint(self, state: TrainState, path: str) -> TrainState:
+        """Full-state restore: params + batch stats + optimizer + step
+        (resume_from semantics, apis/train.py:128-131)."""
         import orbax.checkpoint as ocp
         ckptr = ocp.PyTreeCheckpointer()
         restored = ckptr.restore(os.path.abspath(path), item=jax.device_get(state))
         return jax.device_put(restored, replicated(self.mesh))
+
+    def load_weights(self, state: TrainState, path: str) -> TrainState:
+        """Weights-only restore: params + batch stats, FRESH optimizer/step
+        (load_from semantics — fine-tuning must not resume the old LR
+        position or Adam moments)."""
+        restored = self.load_checkpoint(state, path)
+        return state.replace(params=restored.params,
+                             batch_stats=restored.batch_stats)
 
     # ---- loops ---------------------------------------------------------------
 

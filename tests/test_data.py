@@ -21,7 +21,7 @@ def make_dataset(split="train", **kw):
     store = SyntheticStore(num_objects=40, frames_per_obj=6, seed=3)
     common = dict(store=store, classes=CLASSES, cls_to_idx=CLS_TO_IDX,
                   tracking_classes=TRACKING, subsample_sparse=32,
-                  subsample_dense=64, **kw)
+                  subsample_dense=64, with_dense=True, **kw)
     if split == "val":
         return ValEvenPairs(max_combinations=4, validation_seed=7, **common)
     return PairDataset(seed=0, **common)

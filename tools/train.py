@@ -60,6 +60,11 @@ def build_all(cfg, args):
                                             build_optimizer)
 
     dcfg = cfg["dataset"]
+    losses = cfg.get("losses_to_use", {})
+    with_dense = bool(losses.get("shape") or losses.get("dense"))
+    dcfg = dict(dcfg,
+                train=dict(dcfg["train"], with_dense=with_dense),
+                val=dict(dcfg["val"], with_dense=with_dense))
     complete_store = None
     if args.root:
         store = CropStore(args.root)
@@ -112,8 +117,10 @@ def build_all(cfg, args):
     sample = next(iter(val_loader))
     state = TrainState.create(model, tx, sample,
                               rng=jax.random.PRNGKey(args.seed))
-    if args.checkpoint or args.resume:
-        state = trainer.load_checkpoint(state, args.checkpoint or args.resume)
+    if args.resume:
+        state = trainer.load_checkpoint(state, args.resume)
+    elif args.checkpoint:
+        state = trainer.load_weights(state, args.checkpoint)
     return trainer, state
 
 
