@@ -22,8 +22,16 @@ Design deltas from the reference (documented, deliberate):
     dumped to JSON for cross-framework parity (SURVEY.md §7 hard part 2
     recommends freezing them as artifacts).
   * The reference's visibility swap bug (return_item_size_vis assigns v2 to
-    vis_1, reidentification_base.py:471) is not carried.
-  * `mode='image'` folds the ReIDDataset*Image* subclasses into the same class.
+    vis_1, reidentification_base.py:471) is not carried; neither are the
+    dist-slot swap in return_item_size_dist (:487-494) or the size swap in
+    return_item_size_dist_im (:545).
+  * Every item carries real per-frame ego BEV distances (dist_1/dist_2) — the
+    reference only wires them on Waymo (reidentification_waymo.py:168-196)
+    and image-ValEven (reidentification_nuscenes.py:320-346) and zeroes them
+    on nuScenes points (:174); -1.0 marks frames without metadata.
+  * `mode='image'` folds the ReIDDataset*Image* subclasses into the same
+    class, and image items carry the crops' true LiDAR point counts
+    (size_1/size_2) like the reference image-ValEven (:329-331).
 """
 from __future__ import annotations
 
@@ -220,7 +228,10 @@ class PairDataset:
             s2 = self._load_sparse(tok2, f2)
 
         return self._item(rng, s1, s2, d1, d2, l1, l2, id1, id2,
-                          vis=(self._vis(tok1, f1), self._vis(tok2, f2)))
+                          vis=(self._vis(tok1, f1), self._vis(tok2, f2)),
+                          dist=(self._dist(tok1, f1), self._dist(tok2, f2)),
+                          sizes=(self._num_pts(tok1, f1),
+                                 self._num_pts(tok2, f2)))
 
     def _vis(self, tok: str, frame: str) -> int:
         v = self.store.objects[tok].visibility.get(str(frame), -1)
@@ -228,7 +239,25 @@ class PairDataset:
         # (vis_to_cls_id, reidentification_nuscenes.py:29)
         return int(v) - 1 if int(v) in (1, 2, 3, 4) else -1
 
-    def _item(self, rng, s1, s2, d1, d2, l1, l2, id1, id2, vis=(-1, -1)):
+    def _dist(self, tok: str, frame: str) -> float:
+        """Per-frame ego BEV distance; -1.0 when the store has none.
+
+        The reference computes sqrt(sum(all_sizes[row, :2]**2)) at sample time
+        (reidentification_waymo.py:168-196, the live path;
+        reidentification_nuscenes.py:174 comments it out for points). A
+        missing frame there indexes all_sizes[-1] — silently the LAST frame's
+        row; we return a -1.0 sentinel instead of carrying that wrap-around.
+        """
+        return float(self.store.objects[tok].distance.get(str(frame), -1.0))
+
+    def _num_pts(self, tok: str, frame: str) -> int:
+        """True LiDAR point count of a frame — the image datasets report the
+        pts-store count, not the crop size (reidentification_nuscenes.py:
+        329-331,355-356)."""
+        return int(self.store.objects[tok].num_pts.get(str(frame), -1))
+
+    def _item(self, rng, s1, s2, d1, d2, l1, l2, id1, id2, vis=(-1, -1),
+              dist=(-1.0, -1.0), sizes=None):
         size_1, size_2 = s1.shape[0], s2.shape[0]
         if self.mode == "points":
             s1 = subsample_pc_np(rng, s1, self.subsample_sparse)
@@ -241,13 +270,16 @@ class PairDataset:
                 item["dense_1"] = subsample_pc_np(rng, d1, self.subsample_dense)
                 item["dense_2"] = subsample_pc_np(rng, d2, self.subsample_dense)
         else:
-            size_1 = size_2 = self.subsample_sparse  # image tokens are fixed
+            # image pairs carry the crop's TRUE LiDAR point counts so the
+            # density stratification stays meaningful in image mode
+            size_1, size_2 = sizes if sizes is not None else (-1, -1)
             item = dict(sparse_1=s1.astype(np.float32),
                         sparse_2=s2.astype(np.float32))
         item.update(label_1=np.int32(l1), label_2=np.int32(l2),
                     id_1=np.int32(id1), id_2=np.int32(id2),
                     size_1=np.int32(size_1), size_2=np.int32(size_2),
-                    vis_1=np.int32(vis[0]), vis_2=np.int32(vis[1]))
+                    vis_1=np.int32(vis[0]), vis_2=np.int32(vis[1]),
+                    dist_1=np.float32(dist[0]), dist_2=np.float32(dist[1]))
         return item
 
 
@@ -324,7 +356,11 @@ class ValEvenPairs(PairDataset):
             i1 = self._int_id(tok)
             return self._item(rng, s1, s2, d1, d1, x["cls"], x["cls"], i1, i1,
                               vis=(self._vis(tok, x["o1"]),
-                                   self._vis(tok, x["o2"])))
+                                   self._vis(tok, x["o2"])),
+                              dist=(self._dist(tok, x["o1"]),
+                                    self._dist(tok, x["o2"])),
+                              sizes=(self._num_pts(tok, x["o1"]),
+                                     self._num_pts(tok, x["o2"])))
         x = self.val_negatives[idx - len(self.val_positives)]
         s1 = self._load_sparse(x["tok1"], x["o1"])
         s2 = self._load_sparse(x["tok2"], x["o2"])
@@ -338,7 +374,11 @@ class ValEvenPairs(PairDataset):
         return self._item(rng, s1, s2, d1, d2, x["cls1"], x["cls2"],
                           self._int_id(x["tok1"]), id2,
                           vis=(self._vis(x["tok1"], x["o1"]),
-                               self._vis(x["tok2"], x["o2"])))
+                               self._vis(x["tok2"], x["o2"])),
+                          dist=(self._dist(x["tok1"], x["o1"]),
+                                self._dist(x["tok2"], x["o2"])),
+                          sizes=(self._num_pts(x["tok1"], x["o1"]),
+                                 self._num_pts(x["tok2"], x["o2"])))
 
     def dump_pairs(self) -> Dict[str, Any]:
         """Freeze the pair lists as a JSON-able artifact for parity checks."""

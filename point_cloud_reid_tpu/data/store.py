@@ -38,6 +38,11 @@ class ObjectRecord:
     path: str
     num_pts: Dict[str, int]
     visibility: Dict[str, int] = dataclasses.field(default_factory=dict)
+    # per-frame ego BEV distance in meters — the reference derives it as
+    # sqrt(sum(all_sizes[nums_to_distance[frame], :2] ** 2)) at sample time
+    # (reidentification_waymo.py:168-196, reidentification_nuscenes.py:320-346,
+    # object_loader_base.py:135-139); the store exporter precomputes the norm.
+    distance: Dict[str, float] = dataclasses.field(default_factory=dict)
 
     @property
     def is_fp(self) -> bool:
@@ -69,6 +74,9 @@ class CropStore:
         self.load_fraction = load_fraction
         with open(os.path.join(root, "objects.pkl"), "rb") as f:
             records: List[ObjectRecord] = pickle.load(f)
+        for r in records:
+            if not hasattr(r, "distance"):   # pre-distance-schema pickles
+                r.distance = {}
         self.objects: Dict[str, ObjectRecord] = {r.id: r for r in records}
         # stable integer id per TP object token (reference
         # instance_token_to_id.pkl, reidentification_nuscenes.py:20-22)
@@ -226,7 +234,11 @@ class SyntheticStore:
                 cls = (i - n_fp) % num_classes
             scale = 0.5 + rng.rand(3) * 2.0          # per-object signature
             base = rng.randn(64, 3) * scale           # canonical shape
-            num_pts, vis = {}, {}
+            # ego-relative BEV trajectory: random start 2-55m + per-frame drift
+            # (mirrors the all_sizes xy metadata the real exporter writes)
+            bev = 2.0 + rng.rand(2) * np.array([53.0, 8.0]) * rng.choice(
+                [-1.0, 1.0], size=2)
+            num_pts, vis, dist = {}, {}, {}
             n_frames = 1 if is_fp else frames_per_obj
             for f in range(n_frames):
                 n = int(rng.randint(point_range[0], point_range[1]))
@@ -236,6 +248,8 @@ class SyntheticStore:
                 self._points[(tok, frame)] = pts
                 num_pts[frame] = n
                 vis[frame] = int(rng.randint(1, 5))   # nuScenes vis levels 1-4
+                bev = bev + rng.randn(2) * 1.5
+                dist[frame] = float(np.sqrt((bev ** 2).sum()))
                 if with_images:
                     im = rng.randn(3, *self.crop_size).astype(np.float32) * 0.1
                     im += scale[:, None, None]         # per-object signature
@@ -245,7 +259,7 @@ class SyntheticStore:
                 class_name=(class_names[cls] if class_names is not None
                             else f"class_{cls}"),
                 path=tok,
-                num_pts=num_pts, visibility=vis)
+                num_pts=num_pts, visibility=vis, distance=dist)
             self._complete[tok] = (base + rng.randn(64, 3) * 0.02).astype(
                 np.float32)
         self.token_to_int = {tok: i for i, tok in enumerate(sorted(self.objects))}

@@ -211,8 +211,17 @@ def evaluate_results(results: Dict[str, np.ndarray],
     if "val_vis_gt_all" in results:
         tables["results_per_visibility"] = me.eval_per_visibility(
             logits, gt, results["val_vis_gt_all"])
-        # the reference feeds visibility into evaluate_distance's num_points slot
+    if "distances" in results and (results["distances"] >= 0).any():
+        # real per-frame ego BEV distances from the store — enables the
+        # paper's accuracy-vs-distance analysis (reidentification_waymo.py:
+        # 168-196, datasets/utils.py:375-459)
+        tables["results_per_distance"] = me.evaluate_distance(
+            logits, gt, np.maximum(results["distances"], 0.0))
+    elif "val_vis_gt_all" in results:
+        # fallback quirk parity: the reference feeds visibility into
+        # evaluate_distance's slot at one call site
         # (reidentification_base.py:107-110); kept for output-shape parity
+        # when the store carries no distance metadata
         tables["results_per_distance"] = me.evaluate_distance(
             logits, gt, np.maximum(results["val_vis_gt_all"], 0))
 

@@ -123,6 +123,9 @@ def make_eval_step(model, losses_to_use: Dict[str, bool],
         if "vis_1" in batch:
             res["val_vis_gt_all"] = jnp.stack([batch["vis_1"],
                                                batch["vis_2"]], 1)
+        if "dist_1" in batch:
+            res["distances"] = jnp.stack([batch["dist_1"],
+                                          batch["dist_2"]], 1)
         for k, v in log.items():
             if k.endswith("_loss"):
                 res["val_" + k] = v[None]

@@ -205,3 +205,59 @@ def test_class_balanced_pairs():
     assert counts.min() * 2 >= counts.max() * 0.5
     item = cb.sample(0)
     assert item["sparse_1"].shape == (16, 3)
+
+
+def test_distance_metadata_end_to_end():
+    """Every sampled item carries real per-frame ego BEV distances matching
+    the store metadata (reidentification_waymo.py:168-196 semantics)."""
+    ds = make_dataset("val")
+    seen = []
+    for i in range(len(ds)):
+        it = ds.sample(i)
+        for slot in ("dist_1", "dist_2"):
+            assert it[slot].dtype == np.float32
+            seen.append(float(it[slot]))
+    seen = np.asarray(seen)
+    assert (seen >= 0).all()           # synthetic store has full metadata
+    assert len(np.unique(seen)) > 10   # real per-frame values, not a constant
+
+    # values round-trip exactly from the store records
+    x = ds.val_positives[0]
+    it = ds.sample(int(np.where(ds._perm_cache == 0)[0][0]))
+    rec = ds.store.objects[x["tok"]]
+    np.testing.assert_allclose(float(it["dist_1"]), rec.distance[x["o1"]],
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(it["dist_2"]), rec.distance[x["o2"]],
+                               rtol=1e-6)
+
+
+def test_image_mode_real_point_counts():
+    """Image items report the crop's true LiDAR point count, not the token
+    constant (reidentification_nuscenes.py:329-331)."""
+    store = SyntheticStore(num_objects=20, frames_per_obj=4, seed=1,
+                           with_images=True, crop_size=(16, 16))
+    ds = ValEvenPairs(store=store, classes=CLASSES, cls_to_idx=CLS_TO_IDX,
+                      tracking_classes=TRACKING, mode="image",
+                      subsample_sparse=16, max_combinations=4,
+                      validation_seed=7)
+    sizes = np.array([[int(ds.sample(i)["size_1"]),
+                       int(ds.sample(i)["size_2"])] for i in range(len(ds))])
+    assert (sizes > 0).all()
+    assert len(np.unique(sizes)) > 5            # varies per pair
+    assert not (sizes == 16).all()              # not the token constant
+
+    x = ds.val_positives[0]
+    it = ds.sample(int(np.where(ds._perm_cache == 0)[0][0]))
+    rec = ds.store.objects[x["tok"]]
+    assert int(it["size_1"]) == rec.num_pts[x["o1"]]
+    assert int(it["size_2"]) == rec.num_pts[x["o2"]]
+
+
+def test_store_distance_roundtrip(tmp_path):
+    store = SyntheticStore(num_objects=6, frames_per_obj=3, seed=2)
+    store.save(str(tmp_path))
+    from point_cloud_reid_tpu.data import CropStore
+    disk = CropStore(str(tmp_path), min_points=5)
+    tok = next(iter(store.objects))
+    assert disk.objects[tok].distance == store.objects[tok].distance
+    assert disk.objects[tok].distance  # non-empty

@@ -75,3 +75,30 @@ def test_evaluate_results_end_to_end():
     assert "results_per_points" in out["stratified"]
     import json
     json.dumps(out)  # must be JSON-serializable
+
+
+def test_evaluate_results_uses_real_distances():
+    """results_per_distance comes from the distances array when present
+    (and only falls back to the visibility-slot quirk without it)."""
+    rng = np.random.RandomState(2)
+    n = 64
+    gt = rng.randint(0, 2, n).astype(np.float64)
+    base = dict(
+        val_match_preds=logits_of(gt), val_match_gt=gt,
+        match_classes=rng.randint(0, 10, size=(n, 2)),
+        num_points=rng.randint(1, 256, size=(n, 2)),
+        val_vis_gt_all=rng.randint(0, 4, size=(n, 2)),
+    )
+    dists = rng.rand(n, 2).astype(np.float32) * 60.0
+    out = evaluate_results(dict(base, distances=dists),
+                           cls_to_idx={f"class_{i}": i for i in range(10)},
+                           num_classes=10)
+    table = out["stratified"]["results_per_distance"]["at_least_one"]
+    # 5m bins over a 60m range -> far more rows than the 4 visibility levels
+    assert len(table) >= 12
+
+    out2 = evaluate_results(base, cls_to_idx={f"class_{i}": i
+                                              for i in range(10)},
+                            num_classes=10)
+    table2 = out2["stratified"]["results_per_distance"]["at_least_one"]
+    assert len(table2) < len(table)   # visibility-quirk fallback shape
