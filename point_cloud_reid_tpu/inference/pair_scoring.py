@@ -16,12 +16,14 @@ match_forward_inference on the class-wise cartesian product, scattered into an
   * static shapes: track/det counts are padded to fixed buckets so the program
     compiles once per bucket (SURVEY.md §7 hard part 4); masked entries score
     -inf.
-  * scale-out: shard the pair grid's track axis over the mesh 'pairs'/'data'
-    axis for multi-chip throughput (>=100k pairs/s target, BASELINE.json).
+  * scale-out: the NxM grid is broadcast INSIDE the jitted program with the
+    flattened pair axis sharding-constrained over every mesh axis — each
+    device materializes only its shard (never the host), non-divisible grids
+    are GSPMD-padded, and 10k+ pair Waymo frames fit per-chip memory
+    (>=100k pairs/s target, BASELINE.json).
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -109,6 +111,13 @@ class PairScorer:
         # XLA partitions the match head SPMD with zero collectives in the
         # forward (pairs are independent).
         self.mesh = mesh
+        self._flat_spec = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            # leading axis sharded over EVERY mesh axis; GSPMD pads
+            # non-divisible extents, so arbitrary grid sizes scale out
+            self._flat_spec = NamedSharding(
+                mesh, PartitionSpec(tuple(mesh.axis_names)))
 
         @jax.jit
         def _embed(variables, pts):
@@ -116,18 +125,33 @@ class PairScorer:
             return h if image_mode else (xyz, h)
         self._embed = _embed
 
-        @functools.partial(jax.jit, static_argnums=())
-        def _score(variables, h1, xyz1, h2, xyz2):
-            # pair axis == batch axis; one fused program for all pairs
+        flat_spec = self._flat_spec
+
+        @jax.jit
+        def _score_grid(variables, h_t, xyz_t, h_d, xyz_d):
+            """Per-object embeddings in, (nt, nd) logits out.
+
+            The NxM grid is broadcast INSIDE the sharded program: each device
+            materializes only its own shard of the flattened pair batch
+            (never the full (nt*nd, N, C) tensor on the host), which is what
+            lets cost_matrix scale to Waymo-size 10k+ pair frames."""
+            nt_p, nd_p = h_t.shape[0], h_d.shape[0]
+            h1, h2 = _pair_grid(h_t, h_d, nt_p, nd_p)
+            if flat_spec is not None:
+                h1 = jax.lax.with_sharding_constraint(h1, flat_spec)
+                h2 = jax.lax.with_sharding_constraint(h2, flat_spec)
             if image_mode:
                 logits = model.apply(variables, h1, h2, train=False,
                                      method="match_logits")
             else:
-                logits, _ = model.apply(variables, h1, xyz1, h2, xyz2,
-                                        train=False,
-                                        method="match_logits")
-            return logits
-        self._score = _score
+                x1, x2 = _pair_grid(xyz_t, xyz_d, nt_p, nd_p)
+                if flat_spec is not None:
+                    x1 = jax.lax.with_sharding_constraint(x1, flat_spec)
+                    x2 = jax.lax.with_sharding_constraint(x2, flat_spec)
+                logits, _ = model.apply(variables, h1, x1, h2, x2,
+                                        train=False, method="match_logits")
+            return logits.reshape(nt_p, nd_p)
+        self._score_grid = _score_grid
 
     # ---- embedding stage (amortized per object) ------------------------------
 
@@ -172,29 +196,12 @@ class PairScorer:
 
         h_t, h_d = pad0(h_tracks, nt_p), pad0(h_dets, nd_p)
         x_t, x_d = pad0(xyz_tracks, nt_p), pad0(xyz_dets, nd_p)
-
-        def grid(a, b):
-            return _pair_grid(a, b, nt_p, nd_p)
-
-        def maybe_shard(x):
-            if x is None or self.mesh is None:
-                return x
-            if (nt_p * nd_p) % self.mesh.devices.size != 0:
-                return x
-            from jax.sharding import NamedSharding, PartitionSpec
-            return jax.device_put(
-                x, NamedSharding(self.mesh,
-                                 PartitionSpec(self.mesh.axis_names)))
-
-        h1, h2 = grid(h_t, h_d)
-        h1, h2 = maybe_shard(h1), maybe_shard(h2)
         if self.image_mode:
-            logits = self._score(self.variables, h1, None, h2, None)
-        else:
-            x1, x2 = grid(x_t, x_d)
-            logits = self._score(self.variables, h1, maybe_shard(x1),
-                                 h2, maybe_shard(x2))
-        mat = logits.reshape(nt_p, nd_p)[:nt, :nd]
+            x_t = jnp.zeros((nt_p, 0), h_t.dtype)
+            x_d = jnp.zeros((nd_p, 0), h_d.dtype)
+        # the grid is broadcast inside the jitted, mesh-sharded program —
+        # only per-object embeddings cross the host boundary
+        mat = self._score_grid(self.variables, h_t, x_t, h_d, x_d)[:nt, :nd]
 
         if track_classes is not None and det_classes is not None:
             ok = (np.asarray(track_classes)[:, None] ==
@@ -222,6 +229,7 @@ class PairScorer:
         swaps apply to already-compiled buckets.
         """
         model, image_mode = self.model, self.image_mode
+        flat_spec = self._flat_spec
         assert not (image_mode and crop_points), \
             "on-device box crops are a point-branch path"
 
@@ -234,11 +242,19 @@ class PairScorer:
                     jax.random.PRNGKey(seed), pts, boxes, crop_points)
             else:
                 det_crops = dets
+            if flat_spec is not None:
+                # embed stage: detections sharded over the mesh too
+                det_crops = jax.lax.with_sharding_constraint(det_crops,
+                                                             flat_spec)
             xyz_d, h_d = _embed_tokens(model, variables, det_crops,
                                        image_mode)
 
             def grid(a, b):
-                return _pair_grid(a, b, n_tracks, n_dets)
+                h1, h2 = _pair_grid(a, b, n_tracks, n_dets)
+                if flat_spec is not None:
+                    h1 = jax.lax.with_sharding_constraint(h1, flat_spec)
+                    h2 = jax.lax.with_sharding_constraint(h2, flat_spec)
+                return h1, h2
 
             h1, h2 = grid(h_t, h_d)
             if image_mode:

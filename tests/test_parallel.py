@@ -118,3 +118,69 @@ def test_fused_frame_matches_two_stage():
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(h_d2), np.asarray(h_d),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_pair_sharded_non_divisible_grid():
+    """Grids that don't divide the device count still score correctly —
+    GSPMD pads shards internally; no silent unsharded fallback."""
+    from point_cloud_reid_tpu.inference import PairScorer
+    model = build_model(TINY)
+    batch = _batch(B=2, N=8)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    crops_t = jax.random.normal(jax.random.PRNGKey(8), (5, 8, 3))
+    crops_d = jax.random.normal(jax.random.PRNGKey(9), (3, 8, 3))
+    plain = PairScorer(model, variables)
+    xyz_t, h_t = plain.embed(crops_t)
+    xyz_d, h_d = plain.embed(crops_d)
+    # pad=False: 5x3=15 pairs over 8 devices — not divisible
+    ref = np.asarray(plain.cost_matrix(h_t, xyz_t, h_d, xyz_d, pad=False))
+
+    mesh = make_mesh(data=4, pairs=2)
+    sharded = PairScorer(model, variables, mesh=mesh)
+    got = np.asarray(sharded.cost_matrix(h_t, xyz_t, h_d, xyz_d, pad=False))
+    assert got.shape == (5, 3)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pair_sharded_large_grid():
+    """>=4096-pair grid scored through the in-program sharded broadcast;
+    per-shard peak memory stays ~1/n_devices of the full grid."""
+    from point_cloud_reid_tpu.inference import PairScorer
+    model = build_model(TINY)
+    batch = _batch(B=2, N=8)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    crops = jax.random.normal(jax.random.PRNGKey(10), (64, 8, 3))
+    mesh = make_mesh(data=4, pairs=2)
+    sharded = PairScorer(model, variables, mesh=mesh)
+    xyz, h = sharded.embed(crops)
+    mat = np.asarray(sharded.cost_matrix(h, xyz, h, xyz, pad=False))
+    assert mat.shape == (64, 64)            # 4096 pairs
+    assert np.isfinite(mat).all()
+    # spot-check a row block against the unsharded scorer
+    plain = PairScorer(model, variables)
+    ref = np.asarray(plain.cost_matrix(h[:8], xyz[:8], h, xyz, pad=False))
+    np.testing.assert_allclose(mat[:8], ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_frame_fn_sharded():
+    """make_frame_fn honors the mesh: fused embed+grid matches unsharded."""
+    from point_cloud_reid_tpu.inference import PairScorer
+    model = build_model(TINY)
+    batch = _batch(B=2, N=8)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    tracks = jax.random.normal(jax.random.PRNGKey(11), (4, 8, 3))
+    dets = jax.random.normal(jax.random.PRNGKey(12), (6, 8, 3))
+    plain = PairScorer(model, variables)
+    xyz_t, h_t = plain.embed(tracks)
+    ref, h_ref, _ = plain.make_frame_fn(4, 6)(h_t, xyz_t, dets)
+
+    mesh = make_mesh(data=4, pairs=2)
+    sharded = PairScorer(model, variables, mesh=mesh)
+    got, h_got, _ = sharded.make_frame_fn(4, 6)(h_t, xyz_t, dets)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-5)
