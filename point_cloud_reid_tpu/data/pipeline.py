@@ -50,10 +50,12 @@ class BatchLoader:
     """Iterates fixed-size batches from a PairDataset with background workers.
 
     The reference uses worker subprocesses (workers_per_gpu, apis/train.py:37);
-    here sampling is numpy-cheap and disk IO releases the GIL, so a small thread
-    pool + a bounded prefetch queue keeps the accelerator fed. For the
-    production path with a real on-disk store, the native C++ reader
-    (point_cloud_reid_tpu/native) slots in behind the same interface.
+    here pair selection is numpy-cheap metadata work and the heavy part —
+    reading + resampling B*2 crops — runs through the dataset's
+    `sample_batch` when it supports it: ONE call into the native C++ thread
+    pool per batch (point_cloud_reid_tpu/native, GIL released). Datasets
+    without the batch path (synthetic/in-memory, image mode, dense tensors
+    on) fall back to per-item sampling + collate.
 
     Args:
         dataset: PairDataset/ValEvenPairs.
@@ -97,6 +99,7 @@ class BatchLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._index_order()
         nb = len(self)
+        use_batch_load = getattr(self.dataset, "supports_batch_load", False)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -115,8 +118,13 @@ class BatchLoader:
                 if stop.is_set():
                     return
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                batch = collate_pairs([self.dataset.sample(int(i))
-                                       for i in idxs])
+                if use_batch_load:
+                    # whole batch read+resampled by the C++ thread pool in
+                    # one call (GIL released) — the training-input fast path
+                    batch = self.dataset.sample_batch(idxs)
+                else:
+                    batch = collate_pairs([self.dataset.sample(int(i))
+                                           for i in idxs])
                 if self.transform is not None:
                     batch = self.transform(batch)
                 q.put((b, batch))

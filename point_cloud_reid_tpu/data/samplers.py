@@ -200,9 +200,10 @@ class PairDataset:
                 continue
         raise LookupError("no class has >=2 candidate objects")
 
-    def sample(self, i: int) -> Dict[str, Any]:
-        """One training pair (ReIDDatasetNuscenesFP.__getitem__,
-        reidentification_nuscenes.py:37-72)."""
+    def _plan(self, i: int) -> Dict[str, Any]:
+        """Pair selection WITHOUT point IO: every RNG draw of sample() happens
+        here in the same order, so plan-then-load (the batched native path)
+        and the per-item path share one stream."""
         rng = self._sample_rng(i)
         tok1 = self.tp_tokens[i % len(self.tp_tokens)]
         l1 = int(self.tp_labels[i % len(self.tp_tokens)])
@@ -211,12 +212,9 @@ class PairDataset:
 
         if rng.randint(2) == 1:                            # positive pair
             f1, f2 = rng.choice(self.frames[tok1], 2, replace=False)
-            s1 = self._load_sparse(tok1, f1)
-            s2 = self._load_sparse(tok1, f2)
             tok2, l2, id2, d2 = tok1, l1, id1, d1
         else:                                              # negative pair
             f1 = rng.choice(self.frames[tok1])
-            s1 = self._load_sparse(tok1, f1)
             tok2, l2, density = self._negative_object(rng, tok1, l1)
             if self.store.objects[tok2].is_fp:
                 d2 = rng.randn(self.subsample_dense, 3).astype(np.float32)
@@ -225,13 +223,80 @@ class PairDataset:
                 d2 = self.complete_store.load_complete(tok2)
                 id2 = self._int_id(tok2)
             f2 = self.buckets.random_frame_in_bucket(rng, tok2, density)
-            s2 = self._load_sparse(tok2, f2)
 
-        return self._item(rng, s1, s2, d1, d2, l1, l2, id1, id2,
-                          vis=(self._vis(tok1, f1), self._vis(tok2, f2)),
-                          dist=(self._dist(tok1, f1), self._dist(tok2, f2)),
-                          sizes=(self._num_pts(tok1, f1),
-                                 self._num_pts(tok2, f2)))
+        return dict(rng=rng, tok1=tok1, f1=f1, tok2=tok2, f2=f2,
+                    l1=l1, l2=l2, id1=id1, id2=id2, d1=d1, d2=d2)
+
+    def _plan_item(self, p: Dict[str, Any]) -> Dict[str, Any]:
+        s1 = self._load_sparse(p["tok1"], p["f1"])
+        s2 = self._load_sparse(p["tok2"], p["f2"])
+        return self._item(
+            p["rng"], s1, s2, p["d1"], p["d2"], p["l1"], p["l2"],
+            p["id1"], p["id2"],
+            vis=(self._vis(p["tok1"], p["f1"]), self._vis(p["tok2"], p["f2"])),
+            dist=(self._dist(p["tok1"], p["f1"]),
+                  self._dist(p["tok2"], p["f2"])),
+            sizes=(self._num_pts(p["tok1"], p["f1"]),
+                   self._num_pts(p["tok2"], p["f2"])))
+
+    def sample(self, i: int) -> Dict[str, Any]:
+        """One training pair (ReIDDatasetNuscenesFP.__getitem__,
+        reidentification_nuscenes.py:37-72)."""
+        return self._plan_item(self._plan(i))
+
+    # ---- batched native IO path ----------------------------------------------
+
+    @property
+    def supports_batch_load(self) -> bool:
+        """True when sample_batch can take the batched native-reader path:
+        point mode, no dense tensors (their RNG rides the per-item stream),
+        an on-disk store with the batch entry point, full-file reads."""
+        return (self.mode == "points" and not self.with_dense
+                and hasattr(self.store, "load_point_batch")
+                and getattr(self.store, "load_fraction", 1.0) == 1.0)
+
+    def sample_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
+        """Assemble a whole batch with ONE native load+resample call.
+
+        Pair selection stays per-item python (cheap metadata work); the
+        expensive part — B*2 file reads + resample-with-replacement to the
+        fixed point count — runs in the C++ thread pool
+        (native/crop_loader.cpp), off the GIL. This is the training-input
+        fast path standing in for the reference's worker subprocesses
+        (workers_per_gpu, apis/train.py:37).
+
+        Resampling uses splitmix64 streams seeded per (seed, epoch, index,
+        slot) instead of the per-item numpy stream, so batches differ from
+        the per-item path in which duplicate points get picked — never in
+        pair identity, labels, or metadata.
+        """
+        plans = [self._plan(int(i)) for i in indices]
+        pairs = [(p["tok1"], p["f1"]) for p in plans] + \
+                [(p["tok2"], p["f2"]) for p in plans]
+        seeds = [np.random.SeedSequence(
+            [self.seed, self.epoch, int(i), slot]).generate_state(1)[0]
+            for slot in (1, 2) for i in indices]
+        pts, counts = self.store.load_point_batch(
+            pairs, self.subsample_sparse, seeds)
+        B = len(plans)
+        batch = dict(
+            sparse_1=pts[:B], sparse_2=pts[B:],
+            label_1=np.asarray([p["l1"] for p in plans], np.int32),
+            label_2=np.asarray([p["l2"] for p in plans], np.int32),
+            id_1=np.asarray([p["id1"] for p in plans], np.int32),
+            id_2=np.asarray([p["id2"] for p in plans], np.int32),
+            size_1=counts[:B].astype(np.int32),   # -1 = missing file
+            size_2=counts[B:].astype(np.int32),
+            vis_1=np.asarray([self._vis(p["tok1"], p["f1"]) for p in plans],
+                             np.int32),
+            vis_2=np.asarray([self._vis(p["tok2"], p["f2"]) for p in plans],
+                             np.int32),
+            dist_1=np.asarray([self._dist(p["tok1"], p["f1"]) for p in plans],
+                              np.float32),
+            dist_2=np.asarray([self._dist(p["tok2"], p["f2"]) for p in plans],
+                              np.float32),
+        )
+        return batch
 
     def _vis(self, tok: str, frame: str) -> int:
         v = self.store.objects[tok].visibility.get(str(frame), -1)
@@ -344,26 +409,19 @@ class ValEvenPairs(PairDataset):
             self._perm_cache = r.permutation(len(self))
         return int(self._perm_cache[idx])
 
-    def sample(self, idx: int) -> Dict[str, Any]:
+    def _plan(self, idx: int) -> Dict[str, Any]:
+        """Frozen-pair-list plan; `sample`/`sample_batch` are inherited."""
         idx = self._perm(idx)
         rng = self._sample_rng(idx)
         if idx < len(self.val_positives):
             x = self.val_positives[idx]
             tok = x["tok"]
-            s1 = self._load_sparse(tok, x["o1"])
-            s2 = self._load_sparse(tok, x["o2"])
             d1 = self.complete_store.load_complete(tok)
             i1 = self._int_id(tok)
-            return self._item(rng, s1, s2, d1, d1, x["cls"], x["cls"], i1, i1,
-                              vis=(self._vis(tok, x["o1"]),
-                                   self._vis(tok, x["o2"])),
-                              dist=(self._dist(tok, x["o1"]),
-                                    self._dist(tok, x["o2"])),
-                              sizes=(self._num_pts(tok, x["o1"]),
-                                     self._num_pts(tok, x["o2"])))
+            return dict(rng=rng, tok1=tok, f1=x["o1"], tok2=tok, f2=x["o2"],
+                        l1=x["cls"], l2=x["cls"], id1=i1, id2=i1,
+                        d1=d1, d2=d1)
         x = self.val_negatives[idx - len(self.val_positives)]
-        s1 = self._load_sparse(x["tok1"], x["o1"])
-        s2 = self._load_sparse(x["tok2"], x["o2"])
         d1 = self.complete_store.load_complete(x["tok1"])
         if self.store.objects[x["tok2"]].is_fp:
             d2 = rng.randn(self.subsample_dense, 3).astype(np.float32)
@@ -371,14 +429,10 @@ class ValEvenPairs(PairDataset):
         else:
             d2 = self.complete_store.load_complete(x["tok2"])
             id2 = self._int_id(x["tok2"])
-        return self._item(rng, s1, s2, d1, d2, x["cls1"], x["cls2"],
-                          self._int_id(x["tok1"]), id2,
-                          vis=(self._vis(x["tok1"], x["o1"]),
-                               self._vis(x["tok2"], x["o2"])),
-                          dist=(self._dist(x["tok1"], x["o1"]),
-                                self._dist(x["tok2"], x["o2"])),
-                          sizes=(self._num_pts(x["tok1"], x["o1"]),
-                                 self._num_pts(x["tok2"], x["o2"])))
+        return dict(rng=rng, tok1=x["tok1"], f1=x["o1"],
+                    tok2=x["tok2"], f2=x["o2"],
+                    l1=x["cls1"], l2=x["cls2"],
+                    id1=self._int_id(x["tok1"]), id2=id2, d1=d1, d2=d2)
 
     def dump_pairs(self) -> Dict[str, Any]:
         """Freeze the pair lists as a JSON-able artifact for parity checks."""
@@ -536,3 +590,11 @@ class ClassBalancedPairs:
 
     def sample(self, i: int):
         return self.dataset.sample(int(self.indices[i % len(self.indices)]))
+
+    @property
+    def supports_batch_load(self) -> bool:
+        return self.dataset.supports_batch_load
+
+    def sample_batch(self, indices):
+        return self.dataset.sample_batch(
+            [int(self.indices[int(i) % len(self.indices)]) for i in indices])

@@ -269,6 +269,7 @@ class PairScorer:
         def call(h_t, xyz_t, dets):
             return frame(self.variables, h_t, xyz_t, dets)
 
+        call.jitted = frame     # expose for AOT cost analysis (bench MFU)
         return call
 
     def score_frame(self, cache: FeatureCache, track_ids, det_crops,

@@ -44,7 +44,7 @@ class TrackingManager:
                  match_threshold: float = 0.7, max_distance: float = 2.0,
                  method: str = "greedy", max_age: int = 3, min_hits: int = 1,
                  nms_threshold: Optional[float] = None, seed: int = 0,
-                 crop_fn=None):
+                 crop_fn=None, eval_recorder=None):
         """crop_fn(frame_data, boxes_padded (M,7)) -> (M, ...) crops overrides
         the default lidar extractor — the image branch passes a closure over
         tracking.image_crops.crops_per_frame (ImageReidentifier workload,
@@ -52,6 +52,10 @@ class TrackingManager:
         to crop_fn verbatim in that case."""
         self.scorer = scorer
         self.crop_fn = crop_fn
+        # optional evaluation.TrackingEvalAccumulator; fed whenever step()
+        # receives det_gt_ids (tracking-eval summarization,
+        # core/hooks/utils.py:64-242 equivalent)
+        self.eval_recorder = eval_recorder
         self.subsample_number = subsample_number
         self.match_threshold = match_threshold
         self.max_distance = max_distance
@@ -81,6 +85,20 @@ class TrackingManager:
                 t_pad, d_pad, crop_points=self.subsample_number)
         return self._full_frame_fns[key]
 
+    def _record_prune(self):
+        """Drop aged-out tracks, feeding their lifetimes to the recorder."""
+        if self.eval_recorder is not None:
+            dying = [t for t in self.store.tracks.values()
+                     if t.age > self.store.max_age]
+            self.eval_recorder.observe_dead(dying)
+        self.cache.drop(self.store.prune())
+
+    def end_scene(self):
+        """Scene boundary for the eval recorder, then reset tracker state."""
+        if self.eval_recorder is not None:
+            self.eval_recorder.end_scene(list(self.store.tracks.values()))
+        self.reset()
+
     def reset(self):
         """New scene (VirtualTracker.reset)."""
         self.store = TrackStore(max_age=self.store.max_age,
@@ -106,8 +124,8 @@ class TrackingManager:
         return h_d, xyz_d
 
     def step(self, points: np.ndarray, det_boxes: np.ndarray,
-             det_scores: np.ndarray, det_labels: np.ndarray
-             ) -> List[Track]:
+             det_scores: np.ndarray, det_labels: np.ndarray,
+             det_gt_ids: Optional[np.ndarray] = None) -> List[Track]:
         """Process one frame; returns the confirmed tracks.
 
         Args:
@@ -115,11 +133,16 @@ class TrackingManager:
             det_boxes: (D, 7) detections [cx cy cz dx dy dz yaw].
             det_scores: (D,) detector confidences.
             det_labels: (D,) int class ids.
+            det_gt_ids: optional (D,) gt object ids (-1 = detector FP) —
+                when given with an eval_recorder attached, every association
+                decision is classified into the tracking-eval summary.
         """
         self.timestep += 1
         det_boxes = np.asarray(det_boxes, np.float32).reshape(-1, 7)
         det_scores = np.asarray(det_scores, np.float32).reshape(-1)
         det_labels = np.asarray(det_labels, np.int64).reshape(-1)
+        if det_gt_ids is not None:
+            det_gt_ids = np.asarray(det_gt_ids, np.int64).reshape(-1)
 
         if self.nms_threshold is not None and len(det_boxes) > 1:
             keep = np.asarray(nms_bev(jnp.asarray(det_boxes),
@@ -128,12 +151,14 @@ class TrackingManager:
             keep = keep[keep >= 0]
             det_boxes, det_scores, det_labels = (
                 det_boxes[keep], det_scores[keep], det_labels[keep])
+            if det_gt_ids is not None:
+                det_gt_ids = det_gt_ids[keep]
 
         D = len(det_boxes)
         if D == 0:
             for t in self.store.tracks.values():
                 t.missed()
-            self.cache.drop(self.store.prune())
+            self._record_prune()
             return self.store.outputs()
 
         # device: crops + embeddings for all detections at once; sweep and
@@ -198,11 +223,15 @@ class TrackingManager:
             h_d, xyz_d = self._embed_dets(pts, boxes_p, D)
             matches, unmatched_t, unmatched_d = [], [], list(range(D))
 
+        matched_rec, newborn_rec = [], []
         for ti, di in matches:
             t = active[ti]
             t.update(det_boxes[di], det_scores[di], self.timestep)
             self.cache.update([t.track_id], h_d[di:di + 1],
                               xyz_d[di:di + 1] if xyz_d is not None else None)
+            if det_gt_ids is not None:
+                matched_rec.append((t.track_id, det_gt_ids[di],
+                                    det_labels[di]))
         for ti in unmatched_t:
             active[ti].missed()
         for di in unmatched_d:
@@ -210,6 +239,14 @@ class TrackingManager:
                                      det_scores[di], self.timestep)
             self.cache.update([t.track_id], h_d[di:di + 1],
                               xyz_d[di:di + 1] if xyz_d is not None else None)
+            if det_gt_ids is not None:
+                newborn_rec.append((t.track_id, det_gt_ids[di],
+                                    det_labels[di]))
 
-        self.cache.drop(self.store.prune())
+        if self.eval_recorder is not None and det_gt_ids is not None:
+            self.eval_recorder.observe_frame(
+                matched_rec, newborn_rec,
+                [active[ti].track_id for ti in unmatched_t],
+                unmatched_det_gt=[])
+        self._record_prune()
         return self.store.outputs()

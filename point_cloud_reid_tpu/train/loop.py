@@ -178,6 +178,26 @@ class Trainer:
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, jax.device_get(state), force=True)
 
+    def _save_interval_checkpoint(self, state: TrainState, epoch: int):
+        """Retention policy parity (checkpoint_config interval/max_keep_ckpts/
+        save_last, configs_reid/_base_/reidentification_runtime.py:7):
+        interval-tagged ckpt_epoch_{N} saves with only the newest
+        max_keep_ckpts kept, plus an always-current ckpt_last."""
+        work_dir = self.cfg.get("work_dir")
+        if not work_dir:
+            return
+        self.save_checkpoint(state, tag=f"epoch_{epoch}")
+        self._kept_epochs.append(epoch)
+        max_keep = self.cfg.get("max_keep_ckpts", 1)
+        if max_keep and max_keep > 0:
+            import shutil
+            while len(self._kept_epochs) > max_keep:
+                old = self._kept_epochs.pop(0)
+                shutil.rmtree(os.path.join(work_dir, f"ckpt_epoch_{old}"),
+                              ignore_errors=True)
+        if self.cfg.get("save_last", True):
+            self.save_checkpoint(state, tag="last")
+
     def load_checkpoint(self, state: TrainState, path: str) -> TrainState:
         """Full-state restore: params + batch stats + optimizer + step
         (resume_from semantics, apis/train.py:128-131)."""
@@ -204,6 +224,8 @@ class Trainer:
         seed = self.cfg.get("seed", 0)
         state = jax.device_put(state, replicated(self.mesh))
         rng = jax.random.PRNGKey(seed)
+        self._kept_epochs = []
+        best_acc = float("-inf")
 
         for epoch in range(max_epochs):
             self.train_loader.set_epoch(epoch)   # ShuffleDatasetHook semantics
@@ -232,8 +254,13 @@ class Trainer:
             if interval and (epoch + 1) % interval == 0:
                 metrics = self.evaluate(state)
                 self.logger.log_eval(int(state.step), epoch, metrics)
+                acc = metrics.get("val_match_acc")
+                if (self.cfg.get("save_best", True) and acc is not None
+                        and acc > best_acc):
+                    best_acc = acc
+                    self.save_checkpoint(state, tag="best")
             if ckpt_interval and (epoch + 1) % ckpt_interval == 0:
-                self.save_checkpoint(state, tag="last")
+                self._save_interval_checkpoint(state, epoch + 1)
         self.save_checkpoint(state, tag="final")
         return state
 

@@ -88,3 +88,94 @@ def test_cropstore_native_batch(tmp_path):
         if len(pts) >= 3:
             d = np.linalg.norm(batch[b][:, None, :] - pts[None], axis=-1)
             assert np.all(d.min(axis=1) < 1e-6)
+
+
+def _mk_disk_dataset(tmp_path, **kw):
+    from point_cloud_reid_tpu.data import CropStore, PairDataset, SyntheticStore
+    syn = SyntheticStore(num_objects=30, frames_per_obj=5, seed=4)
+    syn.save(str(tmp_path))
+    store = CropStore(str(tmp_path), min_points=5)
+    classes = [f"class_{i}" for i in range(10)]
+    return PairDataset(store=store, classes=classes,
+                       cls_to_idx={c: i for i, c in enumerate(classes)},
+                       tracking_classes={c: c for c in classes},
+                       subsample_sparse=32, seed=0, **kw), syn
+
+
+def test_sample_batch_matches_per_item_metadata(tmp_path):
+    """The batched native path picks the SAME pairs/labels/metadata as the
+    per-item path; only the resample RNG stream differs (documented)."""
+    ds, syn = _mk_disk_dataset(tmp_path)
+    assert ds.supports_batch_load
+    idxs = list(range(12))
+    batch = ds.sample_batch(idxs)
+    from point_cloud_reid_tpu.data import collate_pairs
+    ref = collate_pairs([ds.sample(i) for i in idxs])
+
+    for k in ("label_1", "label_2", "id_1", "id_2", "size_1", "size_2",
+              "vis_1", "vis_2", "dist_1", "dist_2"):
+        np.testing.assert_array_equal(batch[k], ref[k], err_msg=k)
+    assert batch["sparse_1"].shape == ref["sparse_1"].shape
+
+    # every resampled point must belong to the planned crop (or be the
+    # all-zeros <3-point sentinel)
+    plans = [ds._plan(i) for i in idxs]
+    for b, p in enumerate(plans):
+        crop = syn.load_points(p["tok1"], p["f1"])
+        got = batch["sparse_1"][b]
+        if crop.shape[0] <= 2:
+            assert np.all(got == 0)
+            continue
+        d = np.abs(got[:, None, :] - crop[None, :, :]).sum(-1).min(1)
+        assert d.max() < 1e-6
+
+
+def test_sample_batch_deterministic(tmp_path):
+    ds, _ = _mk_disk_dataset(tmp_path)
+    a = ds.sample_batch(range(8))
+    b = ds.sample_batch(range(8))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+    ds.set_epoch(1)
+    c = ds.sample_batch(range(8))
+    assert any(not np.array_equal(a[k], c[k]) for k in a)
+
+
+def test_batch_loader_uses_native_path(tmp_path):
+    """BatchLoader over an on-disk CropStore takes the sample_batch path and
+    trains end-to-end shapes; dense mode falls back to per-item."""
+    from point_cloud_reid_tpu.data import BatchLoader
+    ds, _ = _mk_disk_dataset(tmp_path)
+    loader = BatchLoader(ds, batch_size=8, shuffle=True, seed=0,
+                         num_threads=2)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 8
+    assert batches[0]["sparse_1"].shape == (8, 32, 3)
+    assert batches[0]["dist_1"].dtype == np.float32
+
+    ds2, _ = _mk_disk_dataset(tmp_path, with_dense=True)
+    assert not ds2.supports_batch_load     # dense RNG rides per-item stream
+    loader2 = BatchLoader(ds2, batch_size=8, shuffle=True, seed=0,
+                          num_threads=1)
+    b2 = next(iter(loader2))
+    assert "dense_1" in b2
+
+
+def test_val_even_sample_batch(tmp_path):
+    from point_cloud_reid_tpu.data import CropStore, ValEvenPairs, SyntheticStore
+    syn = SyntheticStore(num_objects=30, frames_per_obj=5, seed=4)
+    syn.save(str(tmp_path))
+    store = CropStore(str(tmp_path), min_points=5)
+    classes = [f"class_{i}" for i in range(10)]
+    ds = ValEvenPairs(store=store, classes=classes,
+                      cls_to_idx={c: i for i, c in enumerate(classes)},
+                      tracking_classes={c: c for c in classes},
+                      subsample_sparse=32, max_combinations=3,
+                      validation_seed=7)
+    assert ds.supports_batch_load
+    idxs = list(range(min(16, len(ds))))
+    batch = ds.sample_batch(idxs)
+    from point_cloud_reid_tpu.data import collate_pairs
+    ref = collate_pairs([ds.sample(i) for i in idxs])
+    for k in ("label_1", "label_2", "id_1", "id_2", "size_1", "size_2"):
+        np.testing.assert_array_equal(batch[k], ref[k], err_msg=k)

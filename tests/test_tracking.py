@@ -299,3 +299,72 @@ def test_image_mode_tracking_with_camera_crops():
     assert len(mgr.store) == 2
     ids = sorted(t.track_id for t in tracks)
     assert ids == [0, 1]            # no identity churn over 3 frames
+
+
+def test_tracking_eval_accumulator_unit():
+    from point_cloud_reid_tpu.evaluation import TrackingEvalAccumulator
+
+    acc = TrackingEvalAccumulator()
+    # frame 0: tracks 0,1 born on gt 10,11
+    acc.observe_frame([], [(0, 10, 0), (1, 11, 0)], [], [])
+    # frame 1: track 0 keeps gt 10 (correct), track 1 jumps to gt 12 (switch)
+    acc.observe_frame([(0, 10, 0), (1, 12, 0)], [], [], [])
+    # frame 2: track 0 matches an FP det; newborn 2 steals gt 12 while
+    # track 1 (which carries it) sits unmatched -> fragmentation
+    acc.observe_frame([(0, -1, 0)], [(2, 12, 1)], [1], [])
+
+    class _T:
+        def __init__(self, tid, hits):
+            self.track_id, self.hits = tid, hits
+    acc.end_scene([_T(0, 3), _T(1, 2), _T(2, 1)])
+
+    s = acc.summary()
+    a = s["association"]
+    assert a["correct"] == 1 and a["id_switches"] == 1
+    assert a["fp_matches"] == 1 and a["fragmentations"] == 1
+    assert s["track_stats"]["mean_track_length"] == 2.0
+    assert s["track_stats"]["median_track_length"] == 2.0
+    assert s["track_stats"]["mean_track_length_gt1"] == 2.5
+    assert s["track_stats"]["length_frequency"] == {"1": 1, "2": 1, "3": 1}
+    assert s["scenes"] == 1 and s["frames"] == 3
+    assert s["per_class"]["1"]["fragmentation"] == 1
+
+    # per-rank merge doubles every counter (CustomEval gather parity)
+    import copy
+    merged = copy.deepcopy(acc).merge(acc)
+    s2 = merged.summary()
+    assert s2["association"]["correct"] == 2
+    assert s2["scenes"] == 2
+    import json
+    json.dumps(s2)
+
+
+def test_tracking_eval_end_to_end():
+    """TrackingManager + recorder over two scenes of gt-labelled frames
+    emits a summary with perfect association on clean synthetic motion."""
+    from point_cloud_reid_tpu.evaluation import TrackingEvalAccumulator
+
+    rec = TrackingEvalAccumulator()
+    mgr = TrackingManager(_MockScorer(), subsample_number=16,
+                          match_threshold=0.7, max_distance=5.0,
+                          eval_recorder=rec)
+    rng = np.random.RandomState(9)
+    for scene in range(2):
+        for t in range(4):
+            centers = [np.array([0.4 * t, 0, 0]),
+                       np.array([8.0, 0.3 * t, 0])]
+            boxes = np.array([[*c, 2, 2, 2, 0.0] for c in centers],
+                             np.float32)
+            mgr.step(_frame_points(rng, centers), boxes,
+                     np.ones(2, np.float32), np.zeros(2, np.int64),
+                     det_gt_ids=np.array([100, 200]))
+        mgr.end_scene()
+
+    s = rec.summary()
+    a = s["association"]
+    assert s["scenes"] == 2 and s["frames"] == 8
+    assert a["id_switches"] == 0 and a["fp_matches"] == 0
+    assert a["correct"] == 12            # 3 continuation frames x 2 objs x 2
+    assert a["frame_match_acc"] == 1.0
+    assert s["track_stats"]["mean_track_length"] == 4.0
+    assert s["track_stats"]["mean_tracks_per_scene"] == 2.0
