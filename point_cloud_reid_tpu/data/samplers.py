@@ -438,6 +438,34 @@ class ValEvenPairs(PairDataset):
         """Freeze the pair lists as a JSON-able artifact for parity checks."""
         return dict(positives=self.val_positives, negatives=self.val_negatives)
 
+    @classmethod
+    def from_artifact(cls, pairs: Dict[str, Any], **common) -> "ValEvenPairs":
+        """Build a val dataset from a FROZEN pair-list artifact.
+
+        The artifact schema is the reference's own val_positives /
+        val_negatives sample dicts (reidentification_nuscenes.py:210-245:
+        positives {tok,o1,o2,cls[,pts1,pts2]}, negatives
+        {tok1,o1,cls1,tok2,o2,cls2}) — which dump_pairs() also emits. A pair
+        list generated by EITHER framework therefore evaluates identically
+        in both: this is the cross-framework val parity protocol
+        (SURVEY.md §7 hard part 2). Frame ids are normalized to str; unknown
+        keys are ignored.
+        """
+        ds = cls(build_pairs=False, **common)
+        ds.val_positives = [
+            dict(tok=x["tok"], o1=str(x["o1"]), o2=str(x["o2"]),
+                 cls=int(x["cls"]),
+                 pts2=int(x.get(
+                     "pts2",
+                     ds.store.objects[x["tok"]].num_pts.get(str(x["o2"]),
+                                                            -1))))
+            for x in pairs["positives"]]
+        ds.val_negatives = [
+            dict(tok1=x["tok1"], o1=str(x["o1"]), cls1=int(x["cls1"]),
+                 tok2=x["tok2"], o2=str(x["o2"]), cls2=int(x["cls2"]))
+            for x in pairs["negatives"]]
+        return ds
+
 
 def build_pair_dataset(cfg: Dict[str, Any], store, complete_store=None):
     """Config-dict entry (mirrors build_dataset registry dispatch,
