@@ -20,8 +20,10 @@ from .attention_blocks import (
 )
 from .dgcnn import DGCNNBackbone
 from .layers import LinearRes, PostRes
+from .loftr import LoFTRStage
 from .point_transformer import PointTransformerBackbone
 from .pointnet import PointNetBackbone
+from .vector_neurons import VNDGCNNBackbone
 
 Spec = Dict[str, Any]
 
@@ -93,6 +95,12 @@ def build_backbone(cfg: Spec, dtype=jnp.float32, knn_method: str = "argsort"):
     if t in ("dgcnn", "DGCNN"):
         return DGCNNBackbone(emb_dims=cfg.get("emb_dims", 1024), k=cfg.get("k", 20),
                              dtype=dtype, name="backbone")
+    if t in ("vn_dgcnn", "VNDGCNN"):
+        # dead code in the reference (vn_dgcnn_cls.py, imports commented out);
+        # live and reachable here
+        return VNDGCNNBackbone(n_knn=cfg.get("n_knn", 20),
+                               pooling=cfg.get("pooling", "max"),
+                               dtype=dtype, name="backbone")
     raise NotImplementedError(f"backbone type {t}")
 
 
@@ -112,6 +120,11 @@ def build_stage(cfg: Optional[Spec], dtype=jnp.float32, name: str = "stage"):
                                   pos_size=cfg.get("pos_size"), **kw)
     if t == "Self_Attention":
         return SelfAttentionBlock(**kw)
+    if t == "loftr":
+        # alternative LoFTR matching encoder (dead in the reference, live here)
+        return LoFTRStage(d_model=cfg["d_model"], nhead=cfg["nhead"],
+                          attention=cfg.get("attention", "linear"),
+                          n_layers=cfg.get("n_layers", 2), dtype=dtype, name=name)
     raise NotImplementedError(f"stage type {t}")
 
 
