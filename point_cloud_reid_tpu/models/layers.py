@@ -172,6 +172,49 @@ class PostRes(nn.Module):
         return nn.relu(out) if self.act else out
 
 
+class Res1d(nn.Module):
+    """1-D conv residual block (B, L, C), lanegcn_nets.py:142-191.
+
+    Same structure as PostRes with kernel_size-k 1-D convs; 'same' padding
+    via (k-1)//2, GN or BN norms, optional final activation.
+    """
+
+    n_out: int
+    kernel_size: int = 3
+    stride: int = 1
+    norm: str = "GN"
+    ng: int = 32
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        n_in = x.shape[-1]
+        pad = (self.kernel_size - 1) // 2
+
+        def make_norm(name):
+            if self.norm == "GN":
+                return nn.GroupNorm(num_groups=gcd(self.ng, self.n_out),
+                                    epsilon=1e-5, name=name, dtype=self.dtype)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, name=name, dtype=self.dtype)
+
+        out = nn.Conv(self.n_out, (self.kernel_size,), strides=(self.stride,),
+                      padding=[(pad, pad)], use_bias=False, dtype=self.dtype,
+                      name="conv1")(x)
+        out = make_norm("bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.n_out, (self.kernel_size,), padding=[(pad, pad)],
+                      use_bias=False, dtype=self.dtype, name="conv2")(out)
+        out = make_norm("bn2")(out)
+        if self.stride != 1 or n_in != self.n_out:
+            x = nn.Conv(self.n_out, (1,), strides=(self.stride,), use_bias=False,
+                        dtype=self.dtype, name="downsample_conv")(x)
+            x = make_norm("downsample_norm")(x)
+        out = out + x
+        return nn.relu(out) if self.act else out
+
+
 def max_pool_points(h: jnp.ndarray) -> jnp.ndarray:
     """(B, N, C) -> (B, C) max over points."""
     return jnp.max(h, axis=1)

@@ -19,7 +19,7 @@ from .attention_blocks import (
     SelfAttentionBlock,
 )
 from .dgcnn import DGCNNBackbone
-from .layers import LinearRes, PostRes
+from .layers import LinearRes, PostRes, Res1d
 from .loftr import LoFTRStage
 from .point_transformer import PointTransformerBackbone
 from .pointnet import PointNetBackbone
@@ -53,6 +53,13 @@ class SequentialHead(nn.Module):
                             norm=spec.get("norm", "GN"),
                             ng=spec.get("ng", 32), dtype=self.dtype,
                             name=name)(x, train=train)
+            elif t == "Res1d":
+                x = Res1d(n_out=spec["n_out"],
+                          kernel_size=spec.get("kernel_size", 3),
+                          stride=spec.get("stride", 1),
+                          norm=spec.get("norm", "GN"),
+                          ng=spec.get("ng", 32), dtype=self.dtype,
+                          name=name)(x, train=train)
             elif t == "Linear":
                 x = nn.Dense(spec["out_features"], dtype=self.dtype, name=name)(x)
             elif t == "Conv1d":

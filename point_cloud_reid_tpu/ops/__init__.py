@@ -17,8 +17,19 @@ Capability map to the reference's 12 native extensions (SURVEY.md §2.7):
                            (fixed-capacity hash rulebook + gather-matmul-scatter)
   box structures (§2.8) -> boxes3d.Boxes3D (lidar/depth origins, corners,
                            points-in-box, rotate, IoU, NMS)
+  BEV feature sampling  -> bev_feat.interpolate_bev(_grid) / get_pixel_feat /
+                           get_roi_feat (tracking_helpers.py + lanegcn_nets.py)
 """
 from .attention import elu_feature_map, full_attention, linear_attention
+from .bev_feat import (
+    centered_grid,
+    get_pixel_feat,
+    get_roi_feat,
+    grid_sample_bilinear,
+    interpolate_bev,
+    interpolate_bev_grid,
+    linear_interp,
+)
 from .boxes import (
     box_corners_3d,
     box_corners_bev,
@@ -56,6 +67,8 @@ from .voxel import bev_pool, dynamic_scatter_mean, voxelize_hard
 
 __all__ = [
     "elu_feature_map", "full_attention", "linear_attention",
+    "centered_grid", "get_pixel_feat", "get_roi_feat", "grid_sample_bilinear",
+    "interpolate_bev", "interpolate_bev_grid", "linear_interp",
     "box_corners_3d", "box_corners_bev", "boxes_iou_3d", "boxes_iou_bev",
     "boxes_overlap_bev", "nms_bev", "points_in_rboxes", "points_to_box_frame",
     "rotation_2d",
