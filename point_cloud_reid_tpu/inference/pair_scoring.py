@@ -131,26 +131,24 @@ class PairScorer:
         def _score_grid(variables, h_t, xyz_t, h_d, xyz_d):
             """Per-object embeddings in, (nt, nd) logits out.
 
-            The NxM grid is broadcast INSIDE the sharded program: each device
-            materializes only its own shard of the flattened pair batch
+            Point branch: ReIDNet.match_logits_grid — the NxM grid is built
+            INSIDE the sharded program with per-object work (q/k/v, KV
+            summaries, pos-MLPs) hoisted out of the pair batch; each device
+            materializes only its own shard of the flattened pair axis
             (never the full (nt*nd, N, C) tensor on the host), which is what
             lets cost_matrix scale to Waymo-size 10k+ pair frames."""
             nt_p, nd_p = h_t.shape[0], h_d.shape[0]
-            h1, h2 = _pair_grid(h_t, h_d, nt_p, nd_p)
-            if flat_spec is not None:
-                h1 = jax.lax.with_sharding_constraint(h1, flat_spec)
-                h2 = jax.lax.with_sharding_constraint(h2, flat_spec)
             if image_mode:
+                h1, h2 = _pair_grid(h_t, h_d, nt_p, nd_p)
+                if flat_spec is not None:
+                    h1 = jax.lax.with_sharding_constraint(h1, flat_spec)
+                    h2 = jax.lax.with_sharding_constraint(h2, flat_spec)
                 logits = model.apply(variables, h1, h2, train=False,
                                      method="match_logits")
-            else:
-                x1, x2 = _pair_grid(xyz_t, xyz_d, nt_p, nd_p)
-                if flat_spec is not None:
-                    x1 = jax.lax.with_sharding_constraint(x1, flat_spec)
-                    x2 = jax.lax.with_sharding_constraint(x2, flat_spec)
-                logits, _ = model.apply(variables, h1, x1, h2, x2,
-                                        train=False, method="match_logits")
-            return logits.reshape(nt_p, nd_p)
+                return logits.reshape(nt_p, nd_p)
+            return model.apply(variables, h_t, xyz_t, h_d, xyz_d,
+                               train=False, method="match_logits_grid",
+                               pair_sharding=flat_spec)
         self._score_grid = _score_grid
 
     # ---- embedding stage (amortized per object) ------------------------------
@@ -249,22 +247,18 @@ class PairScorer:
             xyz_d, h_d = _embed_tokens(model, variables, det_crops,
                                        image_mode)
 
-            def grid(a, b):
-                h1, h2 = _pair_grid(a, b, n_tracks, n_dets)
+            if image_mode:
+                h1, h2 = _pair_grid(h_t, h_d, n_tracks, n_dets)
                 if flat_spec is not None:
                     h1 = jax.lax.with_sharding_constraint(h1, flat_spec)
                     h2 = jax.lax.with_sharding_constraint(h2, flat_spec)
-                return h1, h2
-
-            h1, h2 = grid(h_t, h_d)
-            if image_mode:
                 logits = model.apply(variables, h1, h2, train=False,
                                      method="match_logits")
-            else:
-                x1, x2 = grid(xyz_t, xyz_d)
-                logits, _ = model.apply(variables, h1, x1, h2, x2,
-                                        train=False, method="match_logits")
-            return logits.reshape(n_tracks, n_dets), h_d, xyz_d
+                return logits.reshape(n_tracks, n_dets), h_d, xyz_d
+            logits = model.apply(variables, h_t, xyz_t, h_d, xyz_d,
+                                 train=False, method="match_logits_grid",
+                                 pair_sharding=flat_spec)
+            return logits, h_d, xyz_d
 
         def call(h_t, xyz_t, dets):
             return frame(self.variables, h_t, xyz_t, dets)

@@ -13,7 +13,7 @@ track the reference state-dict keys so the torch checkpoint converter
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -100,6 +100,18 @@ class CrossAttentionBlock(nn.Module):
     values only (the reference's deliberate asymmetry, attention.py:203-209).
 
     forward(search_feat (B,Ns,C), search_xyz, template_feat (B,Nt,C), template_xyz).
+
+    Besides the plain forward, the block exposes a DECOMPOSED path for the
+    NxM pair-grid workload (SURVEY.md §3.5): with linear attention every
+    per-pair quantity factorizes into per-object pieces —
+      search side:   Q' = elu(q_proj(search)) + 1                (query_features)
+      template side: KV = K'^T (V / S),  Ksum = sum_s K'         (template_summary)
+      per pair:      msg = (Q' KV) / (Q' Ksum + eps) * S, then merge/LN/FFN
+                                                               (finish_from_summary)
+    so the q/k/v projections and the KV contraction run ONCE per object instead
+    of once per pair — the pair grid only pays the (N,D)x(D,V) message einsum
+    and the FFN. Numerics are identical to __call__ (same primitive, same
+    einsum order); tests/test_pair_grid.py asserts equality.
     """
 
     d_model: int
@@ -107,32 +119,83 @@ class CrossAttentionBlock(nn.Module):
     attention: str = "linear"
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, search_feat, search_xyz, template_feat, template_xyz,
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def setup(self):
+        # attribute names ARE the param-tree names (identical to the previous
+        # @nn.compact name= kwargs — checkpoint converter map unchanged)
         d = self.d_model
-        template_pos = template_feat + PosMLP(d, dtype=self.dtype,
-                                              name="pos_mlp")(template_xyz)
+        self.pos_mlp = PosMLP(d, dtype=self.dtype)
+        self.q_proj = nn.Dense(d, use_bias=False, dtype=self.dtype)
+        self.k_proj = nn.Dense(d, use_bias=False, dtype=self.dtype)
+        self.v_proj = nn.Dense(d, use_bias=False, dtype=self.dtype)
+        self.merge = nn.Dense(d, use_bias=False, dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.mlp_fc1 = nn.Dense(2 * d, use_bias=False, dtype=self.dtype)
+        self.mlp_fc2 = nn.Dense(d, use_bias=False, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
 
-        q = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
-                                  name="q_proj")(search_feat), self.nhead)
-        k = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
-                                  name="k_proj")(template_feat), self.nhead)
-        v = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
-                                  name="v_proj")(template_pos), self.nhead)
+    def _ffn(self, search_feat: jnp.ndarray, msg: jnp.ndarray) -> jnp.ndarray:
+        msg = self.merge(msg)
+        msg = self.norm1(msg)
+        h = jnp.concatenate([search_feat, msg], axis=-1)
+        h = self.mlp_fc1(h)
+        h = nn.relu(h)
+        h = self.mlp_fc2(h)
+        return search_feat + self.norm2(h)
 
+    def __call__(self, search_feat, search_xyz, template_feat, template_xyz,
+                 mask: Optional[jnp.ndarray] = None,
+                 template_pos: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """template_pos: optional precomputed pos_mlp(template_xyz) — the
+        pair-grid path hoists it per object (it depends only on xyz)."""
+        if template_pos is None:
+            template_pos = self.pos_mlp(template_xyz)
+        template_pos = template_feat + template_pos
+        q = _split_heads(self.q_proj(search_feat), self.nhead)
+        k = _split_heads(self.k_proj(template_feat), self.nhead)
+        v = _split_heads(self.v_proj(template_pos), self.nhead)
         attn = _attn_fn(self.attention)
         msg = _merge_heads(attn(q, k, v))
-        msg = nn.Dense(d, use_bias=False, dtype=self.dtype, name="merge")(msg)
-        msg = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(msg)
+        return self._ffn(search_feat, msg)
 
-        h = jnp.concatenate([search_feat, msg], axis=-1)
-        h = nn.Dense(2 * d, use_bias=False, dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.relu(h)
-        h = nn.Dense(d, use_bias=False, dtype=self.dtype, name="mlp_fc2")(h)
-        msg = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+    # ---- decomposed pair-grid path (linear attention only) -----------------
 
-        return search_feat + msg
+    def query_features(self, search_feat: jnp.ndarray) -> jnp.ndarray:
+        """Per-object search-side queries: (B, N, H, D) = elu(q_proj) + 1."""
+        from ..ops.attention import elu_feature_map
+        return elu_feature_map(_split_heads(self.q_proj(search_feat),
+                                            self.nhead))
+
+    def template_summary(self, template_feat: jnp.ndarray,
+                         template_xyz: jnp.ndarray
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-object template-side summaries: KV (B, H, D, V), Ksum (B, H, D).
+
+        Values carry the 1/v_length pre-scale (the reference's fp16 guard,
+        attention.py:47) so finish_from_summary re-multiplies by S exactly as
+        linear_attention does.
+        """
+        from ..ops.attention import elu_feature_map
+        template_pos = template_feat + self.pos_mlp(template_xyz)
+        k = elu_feature_map(_split_heads(self.k_proj(template_feat),
+                                         self.nhead))
+        v = _split_heads(self.v_proj(template_pos), self.nhead)
+        s = v.shape[1]
+        kv = jnp.einsum("nshd,nshv->nhdv", k, v / s)
+        ksum = k.sum(axis=1)
+        return kv, ksum
+
+    def finish_from_summary(self, search_feat: jnp.ndarray,
+                            queries: jnp.ndarray, kv: jnp.ndarray,
+                            ksum: jnp.ndarray, v_length: int,
+                            eps: float = 1e-6) -> jnp.ndarray:
+        """Per-pair tail: message from the factored pieces, then merge/LN/FFN.
+
+        search_feat (P, N, C), queries (P, N, H, D), kv (P, H, D, V),
+        ksum (P, H, D); v_length is the STATIC template point count.
+        """
+        z = 1.0 / (jnp.einsum("nlhd,nhd->nlh", queries, ksum) + eps)
+        msg = jnp.einsum("nlhd,nhdv,nlh->nlhv", queries, kv, z) * v_length
+        return self._ffn(search_feat, _merge_heads(msg))
 
 
 class CrossLinAttn(nn.Module):

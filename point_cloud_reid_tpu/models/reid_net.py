@@ -165,6 +165,76 @@ class ReIDNet(nn.Module):
         logits = self._match_head(pooled, train=train)[..., 0]
         return logits, (o1, o2)
 
+    def match_logits_grid(self, h_t, xyz_t, h_d, xyz_d, train: bool = False,
+                          pair_sharding=None) -> jnp.ndarray:
+        """All-pairs match logits from per-object embeddings: the NxM tracking
+        grid (SURVEY.md §3.5) as ONE program with per-OBJECT work hoisted out
+        of the pair batch.
+
+        The profiled 128x128 frame is HBM-bandwidth-bound (~700 GB/s); the
+        naive pair grid re-projects q/k/v and re-reduces KV for every pair.
+        With linear attention those factorize per object (CrossAttentionBlock
+        decomposed path), so stage 1 pays only the (N,D)x(D,V) message einsum
+        + FFN per pair. Stage 2 consumes pair-dependent features and runs in
+        full. Numerically equivalent to pairing + match_logits (tested).
+
+        Args:
+            h_t/xyz_t: (nt, N, C)/(nt, N, 3) track embeddings.
+            h_d/xyz_d: (nd, ...) detection embeddings.
+            pair_sharding: optional NamedSharding for the flattened pair axis
+                (multi-chip scale-out; applied to every per-pair tensor).
+        Returns:
+            (nt, nd) match logits.
+        """
+        nt, nd = h_t.shape[0], h_d.shape[0]
+        npts = h_t.shape[1]
+
+        def shard(x):
+            if pair_sharding is not None:
+                return jax.lax.with_sharding_constraint(x, pair_sharding)
+            return x
+
+        def pair(a, b):
+            pa = jnp.broadcast_to(a[:, None], (nt, nd) + a.shape[1:]
+                                  ).reshape((nt * nd,) + a.shape[1:])
+            pb = jnp.broadcast_to(b[None, :], (nt, nd) + b.shape[1:]
+                                  ).reshape((nt * nd,) + b.shape[1:])
+            return shard(pa), shard(pb)
+
+        stage1_cfg = self.cross_stage1 or {}
+        if (self.match_type != "xcorr_eff"
+                or stage1_cfg.get("type") != "corss_attention"
+                or stage1_cfg.get("attention", "linear") != "linear"):
+            # generic fallback: materialize the pair batch, reuse match_logits
+            h1, h2 = pair(h_t, h_d)
+            x1, x2 = pair(xyz_t, xyz_d)
+            logits, _ = self.match_logits(h1, x1, h2, x2, train=train)
+            return logits.reshape(nt, nd)
+
+        s1 = self._cross_stage1
+        # per-object factors (nt + nd backbone-sized tensors, NOT nt*nd)
+        q_t = s1.query_features(h_t)
+        q_d = s1.query_features(h_d)
+        kv_t, ks_t = s1.template_summary(h_t, xyz_t)
+        kv_d, ks_d = s1.template_summary(h_d, xyz_d)
+
+        h1, h2 = pair(h_t, h_d)
+        q1, q2 = pair(q_t, q_d)
+        kv1, kv2 = pair(kv_t, kv_d)
+        ks1, ks2 = pair(ks_t, ks_d)
+        o1_a = s1.finish_from_summary(h1, q1, kv2, ks2, npts)
+        o2_a = s1.finish_from_summary(h2, q2, kv1, ks1, npts)
+
+        # stage 2 consumes pair-dependent features; only its pos-MLP factors
+        # per object (same-type check above guarantees the kwarg exists)
+        s2 = self._cross_stage2
+        pos1, pos2 = pair(s2.pos_mlp(xyz_t), s2.pos_mlp(xyz_d))
+        o1_b = s2(o1_a, None, o2_a, None, template_pos=pos2)
+        o2_b = s2(o2_a, None, o1_a, None, template_pos=pos1)
+        pooled = pooled_feats(self._combine(o1_b, o2_b), self.pool_type)
+        logits = self._match_head(pooled, train=train)[..., 0]
+        return logits.reshape(nt, nd)
+
     # ---- aux heads ---------------------------------------------------------
 
     def cls_logits(self, h_cat: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -222,3 +292,13 @@ class ReIDNetCosine(ReIDNet):
         n1 = p1 / (jnp.linalg.norm(p1, axis=-1, keepdims=True) + 1e-8)
         n2 = p2 / (jnp.linalg.norm(p2, axis=-1, keepdims=True) + 1e-8)
         return jnp.sum(n1 * n2, axis=-1) * 10.0, (None, None)
+
+    def match_logits_grid(self, h_t, xyz_t, h_d, xyz_d, train: bool = False,
+                          pair_sharding=None) -> jnp.ndarray:
+        """Cosine scoring factorizes completely: pool + normalize per object,
+        then the whole NxM grid is ONE (nt, C)x(C, nd) matmul."""
+        p1 = pooled_feats(h_t, self.pool_type)
+        p2 = pooled_feats(h_d, self.pool_type)
+        n1 = p1 / (jnp.linalg.norm(p1, axis=-1, keepdims=True) + 1e-8)
+        n2 = p2 / (jnp.linalg.norm(p2, axis=-1, keepdims=True) + 1e-8)
+        return (n1 @ n2.T) * 10.0

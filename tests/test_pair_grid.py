@@ -1,0 +1,106 @@
+"""match_logits_grid (hoisted per-object factorization of the NxM pair grid)
+must equal the naive pair-broadcast + match_logits path exactly.
+
+The decomposition moves q/k/v projections, the KV summary, and both pos-MLPs
+out of the pair batch (valid for linear attention only); stage 2 runs in
+full. These tests pin the math equivalence on the flagship config and the
+fallback behavior for non-factorizable heads.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from point_cloud_reid_tpu.configs import get_experiment
+from point_cloud_reid_tpu.models import build_model
+
+
+def _make(experiment="pts_point-transformer_point-cat_nus_det_4x256_500e",
+          n_pts=16):
+    cfg = get_experiment(experiment)
+    model = build_model(dict(cfg["model"]))
+    rng = jax.random.PRNGKey(0)
+    batch = dict(sparse_1=jax.random.normal(rng, (2, n_pts, 3)),
+                 sparse_2=jax.random.normal(rng, (2, n_pts, 3)),
+                 id_1=jnp.zeros((2,), jnp.int32),
+                 id_2=jnp.zeros((2,), jnp.int32))
+    variables = model.init(jax.random.PRNGKey(1), batch, train=False)
+    return model, variables
+
+
+def _embed(model, variables, crops):
+    return model.apply(variables, crops, train=False, method="embed")
+
+
+def _naive_grid(model, variables, h_t, x_t, h_d, x_d):
+    nt, nd = h_t.shape[0], h_d.shape[0]
+
+    def pair(a, b):
+        pa = jnp.broadcast_to(a[:, None], (nt, nd) + a.shape[1:]
+                              ).reshape((nt * nd,) + a.shape[1:])
+        pb = jnp.broadcast_to(b[None, :], (nt, nd) + b.shape[1:]
+                              ).reshape((nt * nd,) + b.shape[1:])
+        return pa, pb
+
+    h1, h2 = pair(h_t, h_d)
+    x1, x2 = pair(x_t, x_d)
+    logits, _ = model.apply(variables, h1, x1, h2, x2, train=False,
+                            method="match_logits")
+    return logits.reshape(nt, nd)
+
+
+def test_grid_matches_naive_pair_path():
+    model, variables = _make()
+    nt, nd, n = 6, 4, 16
+    tracks = jax.random.normal(jax.random.PRNGKey(2), (nt, n, 3))
+    dets = jax.random.normal(jax.random.PRNGKey(3), (nd, n, 3))
+    x_t, h_t = _embed(model, variables, tracks)
+    x_d, h_d = _embed(model, variables, dets)
+    naive = _naive_grid(model, variables, h_t, x_t, h_d, x_d)
+    fast = model.apply(variables, h_t, x_t, h_d, x_d, train=False,
+                       method="match_logits_grid")
+    assert fast.shape == (nt, nd)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(naive),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_grid_fallback_for_concat_head():
+    model, variables = _make("pts_point-transformer_baseline_nus_det_4x256_500e")
+    assert model.match_type == "concat"
+    nt, nd, n = 3, 5, 16
+    tracks = jax.random.normal(jax.random.PRNGKey(4), (nt, n, 3))
+    dets = jax.random.normal(jax.random.PRNGKey(5), (nd, n, 3))
+    x_t, h_t = _embed(model, variables, tracks)
+    x_d, h_d = _embed(model, variables, dets)
+    naive = _naive_grid(model, variables, h_t, x_t, h_d, x_d)
+    fast = model.apply(variables, h_t, x_t, h_d, x_d, train=False,
+                       method="match_logits_grid")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(naive),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_decomposed_stage_matches_full_call():
+    """CrossAttentionBlock.finish_from_summary == __call__ on aligned pairs."""
+    from point_cloud_reid_tpu.models.attention_blocks import CrossAttentionBlock
+    d, B, N = 32, 4, 12
+    blk = CrossAttentionBlock(d_model=d, nhead=2)
+    rs = np.random.RandomState(0)
+    sf = jnp.asarray(rs.randn(B, N, d).astype(np.float32))
+    sx = jnp.asarray(rs.randn(B, N, 3).astype(np.float32))
+    tf = jnp.asarray(rs.randn(B, N, d).astype(np.float32))
+    tx = jnp.asarray(rs.randn(B, N, 3).astype(np.float32))
+    v = blk.init(jax.random.PRNGKey(0), sf, sx, tf, tx)
+    full = blk.apply(v, sf, sx, tf, tx)
+
+    q = blk.apply(v, sf, method="query_features")
+    kv, ks = blk.apply(v, tf, tx, method="template_summary")
+    dec = blk.apply(v, sf, q, kv, ks, N, method="finish_from_summary")
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)
+
+    # hoisted template_pos kwarg equals the in-call pos_mlp
+    pos = blk.apply(v, tx, method=lambda m, x: m.pos_mlp(x))
+    hoisted = blk.apply(v, sf, None, tf, None, template_pos=pos)
+    np.testing.assert_allclose(np.asarray(hoisted), np.asarray(full),
+                               rtol=1e-6, atol=1e-7)
