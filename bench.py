@@ -103,6 +103,13 @@ def _bench_tracker(model, variables):
     frame_fn = scorer.make_frame_fn(NT, ND)
 
     frame_x, flops = _compile(frame_fn.jitted, variables, h_t, xyz_t, dets)
+    if scorer._use_pallas:
+        # XLA's cost analysis cannot see inside the pallas match-grid kernel;
+        # take the FLOP count from the equivalent XLA-backend frame program
+        # (compiled for counting only, persisted in the compile cache).
+        xla_frame = PairScorer(model, variables,
+                               backend="xla").make_frame_fn(NT, ND)
+        _, flops = _compile(xla_frame.jitted, variables, h_t, xyz_t, dets)
     _sync(frame_x(variables, h_t, xyz_t, dets)[0])   # warm
 
     n_iters = 30

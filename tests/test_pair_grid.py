@@ -80,6 +80,24 @@ def test_grid_fallback_for_concat_head():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_grid_matches_xla():
+    """Fused pallas match-grid kernel (interpret mode on CPU) == the XLA
+    match_logits_grid path, through the match head."""
+    from point_cloud_reid_tpu.ops.pallas.match_grid import pallas_grid_logits
+    model, variables = _make()
+    nt, nd, n = 4, 8, 16
+    tracks = jax.random.normal(jax.random.PRNGKey(6), (nt, n, 3))
+    dets = jax.random.normal(jax.random.PRNGKey(7), (nd, n, 3))
+    x_t, h_t = _embed(model, variables, tracks)
+    x_d, h_d = _embed(model, variables, dets)
+    xla = model.apply(variables, h_t, x_t, h_d, x_d, train=False,
+                      method="match_logits_grid")
+    pallas = pallas_grid_logits(model, variables, h_t, x_t, h_d, x_d,
+                                det_block=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(pallas), np.asarray(xla),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_decomposed_stage_matches_full_call():
     """CrossAttentionBlock.finish_from_summary == __call__ on aligned pairs."""
     from point_cloud_reid_tpu.models.attention_blocks import CrossAttentionBlock

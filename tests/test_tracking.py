@@ -368,3 +368,64 @@ def test_tracking_eval_end_to_end():
     assert a["frame_match_acc"] == 1.0
     assert s["track_stats"]["mean_track_length"] == 4.0
     assert s["track_stats"]["mean_tracks_per_scene"] == 2.0
+
+
+def test_bev_triplet_metric_loss_matches_torch_grouping():
+    """bev_triplet_metric_loss == the reference's per-track mean
+    TripletMarginLoss summed over tracks (full negative set), computed here
+    with torch as the oracle (BEVSupervisor.get_metric_loss semantics,
+    tracking_supervision.py:183-270)."""
+    torch = pytest.importorskip("torch")
+    import numpy as np
+    from point_cloud_reid_tpu.tracking.supervision import (
+        bev_triplet_metric_loss)
+
+    rs = np.random.RandomState(0)
+    M, C, T = 12, 6, 3
+    feats = rs.randn(M, C).astype(np.float32)
+    ids = rs.randint(0, T, size=M).astype(np.int32)
+
+    crit = torch.nn.TripletMarginLoss(margin=1.0)
+    tf = torch.from_numpy(feats)
+    expected = 0.0
+    for t in range(T):
+        a_list, p_list, n_list = [], [], []
+        idx = np.where(ids == t)[0]
+        neg = np.where(ids != t)[0]
+        for anchor in idx:
+            for p in idx:
+                if p == anchor:
+                    continue
+                for n in neg:
+                    a_list.append(anchor)
+                    p_list.append(p)
+                    n_list.append(n)
+        if not a_list:
+            continue
+        expected += float(crit(tf[a_list], tf[p_list], tf[n_list]))
+
+    got = float(bev_triplet_metric_loss(jnp.asarray(feats), jnp.asarray(ids),
+                                        num_tracks=T))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_bev_memory_end_to_end():
+    import numpy as np
+    from point_cloud_reid_tpu.tracking.supervision import (
+        BEVMemory, sample_bev_features)
+
+    rs = np.random.RandomState(1)
+    bev = jnp.asarray(rs.randn(16, 16, 8).astype(np.float32))
+    pc_range = [-51.2, -51.2, -5.0, 51.2, 51.2, 3.0]
+    mem = BEVMemory()
+    for frame in range(3):
+        centers = jnp.asarray(rs.uniform(-40, 40, (5, 2)).astype(np.float32))
+        feats = sample_bev_features(bev, centers, pc_range,
+                                    rng=jax.random.PRNGKey(frame))
+        assert feats.shape == (5, 8)
+        mem.append(0, feats, np.array([0, 1, 2, 0, 1]))
+        mem.append(1, feats[:2], np.array([7, 7]))
+    loss = float(mem.metric_loss())
+    assert np.isfinite(loss) and loss >= 0
+    mem.reset()
+    assert float(mem.metric_loss()) == 0.0
