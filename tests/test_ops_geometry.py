@@ -184,3 +184,17 @@ def test_linear_attention_kv_mask(rng):
     ref = np.asarray(ops.linear_attention(jnp.asarray(q), jnp.asarray(k[:, :3]),
                                           jnp.asarray(v[:, :3])))
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_index_points_onehot_matmul_exact():
+    """The TPU one-hot-matmul gather must reproduce take_along_axis
+    bit-for-bit (single 1.0 per selector row), incl. bf16 values."""
+    from point_cloud_reid_tpu.ops.geometry import index_points
+    rs = np.random.RandomState(0)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        pts = jnp.asarray(rs.randn(4, 37, 11), dtype)
+        idx = jnp.asarray(rs.randint(0, 37, size=(4, 5, 9)), jnp.int32)
+        a = index_points(pts, idx, method="gather")
+        b = index_points(pts, idx, method="onehot")
+        assert a.dtype == b.dtype == dtype
+        assert bool(jnp.all(a == b))
