@@ -178,13 +178,9 @@ class PairScorer:
             lets cost_matrix scale to Waymo-size 10k+ pair frames."""
             nt_p, nd_p = h_t.shape[0], h_d.shape[0]
             if image_mode:
-                h1, h2 = _pair_grid(h_t, h_d, nt_p, nd_p)
-                if flat_spec is not None:
-                    h1 = jax.lax.with_sharding_constraint(h1, flat_spec)
-                    h2 = jax.lax.with_sharding_constraint(h2, flat_spec)
-                logits = model.apply(variables, h1, h2, train=False,
-                                     method="match_logits")
-                return logits.reshape(nt_p, nd_p)
+                return model.apply(variables, h_t, h_d, train=False,
+                                   method="match_logits_grid",
+                                   pair_sharding=flat_spec)
             if use_pallas:
                 from ..ops.pallas.match_grid import pallas_grid_logits
                 return pallas_grid_logits(model, variables, h_t, xyz_t,
@@ -293,13 +289,10 @@ class PairScorer:
                                        image_mode)
 
             if image_mode:
-                h1, h2 = _pair_grid(h_t, h_d, n_tracks, n_dets)
-                if flat_spec is not None:
-                    h1 = jax.lax.with_sharding_constraint(h1, flat_spec)
-                    h2 = jax.lax.with_sharding_constraint(h2, flat_spec)
-                logits = model.apply(variables, h1, h2, train=False,
-                                     method="match_logits")
-                return logits.reshape(n_tracks, n_dets), h_d, xyz_d
+                logits = model.apply(variables, h_t, h_d, train=False,
+                                     method="match_logits_grid",
+                                     pair_sharding=flat_spec)
+                return logits, h_d, xyz_d
             if use_pallas:
                 from ..ops.pallas.match_grid import pallas_grid_logits
                 logits = pallas_grid_logits(

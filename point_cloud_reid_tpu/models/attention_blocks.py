@@ -95,7 +95,43 @@ class SelfAttentionBlock(nn.Module):
         return feat + msg
 
 
-class CrossAttentionBlock(nn.Module):
+class _CrossDecomposable:
+    """Shared machinery for the cross-attention blocks: the merge/LN/FFN tail
+    and the linear-attention pair-grid decomposition (queries and the
+    finish-from-summary step are identical for the point and image variants;
+    only template_summary differs — the point block injects the pos-MLP into
+    the values)."""
+
+    def _ffn(self, search_feat: jnp.ndarray, msg: jnp.ndarray) -> jnp.ndarray:
+        msg = self.merge(msg)
+        msg = self.norm1(msg)
+        h = jnp.concatenate([search_feat, msg], axis=-1)
+        h = self.mlp_fc1(h)
+        h = nn.relu(h)
+        h = self.mlp_fc2(h)
+        return search_feat + self.norm2(h)
+
+    def query_features(self, search_feat: jnp.ndarray) -> jnp.ndarray:
+        """Per-object search-side queries: (B, N, H, D) = elu(q_proj) + 1."""
+        from ..ops.attention import elu_feature_map
+        return elu_feature_map(_split_heads(self.q_proj(search_feat),
+                                            self.nhead))
+
+    def finish_from_summary(self, search_feat: jnp.ndarray,
+                            queries: jnp.ndarray, kv: jnp.ndarray,
+                            ksum: jnp.ndarray, v_length: int,
+                            eps: float = 1e-6) -> jnp.ndarray:
+        """Per-pair tail: message from the factored pieces, then merge/LN/FFN.
+
+        search_feat (P, N, C), queries (P, N, H, D), kv (P, H, D, V),
+        ksum (P, H, D); v_length is the STATIC template token count.
+        """
+        z = 1.0 / (jnp.einsum("nlhd,nhd->nlh", queries, ksum) + eps)
+        msg = jnp.einsum("nlhd,nhdv,nlh->nlhv", queries, kv, z) * v_length
+        return self._ffn(search_feat, _merge_heads(msg))
+
+
+class CrossAttentionBlock(_CrossDecomposable, nn.Module):
     """Cross-attention where the positional encoding enters through the TEMPLATE
     values only (the reference's deliberate asymmetry, attention.py:203-209).
 
@@ -133,15 +169,6 @@ class CrossAttentionBlock(nn.Module):
         self.mlp_fc2 = nn.Dense(d, use_bias=False, dtype=self.dtype)
         self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
 
-    def _ffn(self, search_feat: jnp.ndarray, msg: jnp.ndarray) -> jnp.ndarray:
-        msg = self.merge(msg)
-        msg = self.norm1(msg)
-        h = jnp.concatenate([search_feat, msg], axis=-1)
-        h = self.mlp_fc1(h)
-        h = nn.relu(h)
-        h = self.mlp_fc2(h)
-        return search_feat + self.norm2(h)
-
     def __call__(self, search_feat, search_xyz, template_feat, template_xyz,
                  mask: Optional[jnp.ndarray] = None,
                  template_pos: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -158,12 +185,6 @@ class CrossAttentionBlock(nn.Module):
         return self._ffn(search_feat, msg)
 
     # ---- decomposed pair-grid path (linear attention only) -----------------
-
-    def query_features(self, search_feat: jnp.ndarray) -> jnp.ndarray:
-        """Per-object search-side queries: (B, N, H, D) = elu(q_proj) + 1."""
-        from ..ops.attention import elu_feature_map
-        return elu_feature_map(_split_heads(self.q_proj(search_feat),
-                                            self.nhead))
 
     def template_summary(self, template_feat: jnp.ndarray,
                          template_xyz: jnp.ndarray
@@ -184,53 +205,52 @@ class CrossAttentionBlock(nn.Module):
         ksum = k.sum(axis=1)
         return kv, ksum
 
-    def finish_from_summary(self, search_feat: jnp.ndarray,
-                            queries: jnp.ndarray, kv: jnp.ndarray,
-                            ksum: jnp.ndarray, v_length: int,
-                            eps: float = 1e-6) -> jnp.ndarray:
-        """Per-pair tail: message from the factored pieces, then merge/LN/FFN.
 
-        search_feat (P, N, C), queries (P, N, H, D), kv (P, H, D, V),
-        ksum (P, H, D); v_length is the STATIC template point count.
-        """
-        z = 1.0 / (jnp.einsum("nlhd,nhd->nlh", queries, ksum) + eps)
-        msg = jnp.einsum("nlhd,nhdv,nlh->nlhv", queries, kv, z) * v_length
-        return self._ffn(search_feat, _merge_heads(msg))
-
-
-class CrossLinAttn(nn.Module):
+class CrossLinAttn(_CrossDecomposable, nn.Module):
     """No-xyz cross-attention block for image token sequences
     (attention.py:312-370; the pos_mlp exists in the reference's parameters but is
-    unused in its forward — we omit it and the converter drops those weights)."""
+    unused in its forward — we omit it and the converter drops those weights).
+
+    Exposes the same decomposed pair-grid path as CrossAttentionBlock
+    (query_features / template_summary / finish_from_summary) so the image
+    NxM tracking grid also hoists per-object work out of the pair batch."""
 
     d_model: int
     nhead: int
     attention: str = "linear"
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        d = self.d_model
+        self.q_proj = nn.Dense(d, use_bias=False, dtype=self.dtype)
+        self.k_proj = nn.Dense(d, use_bias=False, dtype=self.dtype)
+        self.v_proj = nn.Dense(d, use_bias=False, dtype=self.dtype)
+        self.merge = nn.Dense(d, use_bias=False, dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.mlp_fc1 = nn.Dense(2 * d, use_bias=False, dtype=self.dtype)
+        self.mlp_fc2 = nn.Dense(d, use_bias=False, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+
     def __call__(self, search_feat, template_feat,
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        d = self.d_model
-        q = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
-                                  name="q_proj")(search_feat), self.nhead)
-        k = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
-                                  name="k_proj")(template_feat), self.nhead)
-        v = _split_heads(nn.Dense(d, use_bias=False, dtype=self.dtype,
-                                  name="v_proj")(template_feat), self.nhead)
-
+        q = _split_heads(self.q_proj(search_feat), self.nhead)
+        k = _split_heads(self.k_proj(template_feat), self.nhead)
+        v = _split_heads(self.v_proj(template_feat), self.nhead)
         attn = _attn_fn(self.attention)
         msg = _merge_heads(attn(q, k, v))
-        msg = nn.Dense(d, use_bias=False, dtype=self.dtype, name="merge")(msg)
-        msg = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(msg)
+        return self._ffn(search_feat, msg)
 
-        h = jnp.concatenate([search_feat, msg], axis=-1)
-        h = nn.Dense(2 * d, use_bias=False, dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.relu(h)
-        h = nn.Dense(d, use_bias=False, dtype=self.dtype, name="mlp_fc2")(h)
-        msg = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
-
-        return search_feat + msg
+    def template_summary(self, template_feat: jnp.ndarray
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-object template summaries: KV (B, H, D, V), Ksum (B, H, D)."""
+        from ..ops.attention import elu_feature_map
+        k = elu_feature_map(_split_heads(self.k_proj(template_feat),
+                                         self.nhead))
+        v = _split_heads(self.v_proj(template_feat), self.nhead)
+        s = v.shape[1]
+        kv = jnp.einsum("nshd,nshv->nhdv", k, v / s)
+        ksum = k.sum(axis=1)
+        return kv, ksum
 
 
 class LocalSelfAttention(nn.Module):

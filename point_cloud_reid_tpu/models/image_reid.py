@@ -121,6 +121,58 @@ class ImageReIDNet(nn.Module):
             raise NotImplementedError(self.match_type)
         return self._match_head(pooled, train=train)[..., 0]
 
+    def match_logits_grid(self, h_t, h_d, train: bool = False,
+                          pair_sharding=None) -> jnp.ndarray:
+        """All-pairs image match logits with per-object work hoisted out of
+        the pair batch (same factorization as ReIDNet.match_logits_grid —
+        CrossLinAttn has no pos-MLP, so stage 1 hoists completely).
+
+        Args:
+            h_t/h_d: (nt/nd, S, C) downsampled token features.
+            pair_sharding: optional NamedSharding for the flattened pair axis.
+        Returns:
+            (nt, nd) match logits.
+        """
+        nt, nd = h_t.shape[0], h_d.shape[0]
+        stoks = h_t.shape[1]
+
+        def shard(x):
+            if pair_sharding is not None:
+                return jax.lax.with_sharding_constraint(x, pair_sharding)
+            return x
+
+        def pair(a, b):
+            pa = jnp.broadcast_to(a[:, None], (nt, nd) + a.shape[1:]
+                                  ).reshape((nt * nd,) + a.shape[1:])
+            pb = jnp.broadcast_to(b[None, :], (nt, nd) + b.shape[1:]
+                                  ).reshape((nt * nd,) + b.shape[1:])
+            return shard(pa), shard(pb)
+
+        s1_cfg = dict(self.cross_lin_attn or {})
+        if (self.match_type != "xcorr_eff"
+                or s1_cfg.get("type") != "cross_lin_attn"
+                or s1_cfg.get("attention", "linear") != "linear"):
+            h1, h2 = pair(h_t, h_d)
+            logits = self.match_logits(h1, h2, train=train)
+            return logits.reshape(nt, nd)
+
+        s1, s2 = self._cross_stage1, self._cross_stage2
+        q_t, q_d = s1.query_features(h_t), s1.query_features(h_d)
+        kv_t, ks_t = s1.template_summary(h_t)
+        kv_d, ks_d = s1.template_summary(h_d)
+
+        h1, h2 = pair(h_t, h_d)
+        q1, q2 = pair(q_t, q_d)
+        kv1, kv2 = pair(kv_t, kv_d)
+        ks1, ks2 = pair(ks_t, ks_d)
+        o1_a = s1.finish_from_summary(h1, q1, kv2, ks2, stoks)
+        o2_a = s1.finish_from_summary(h2, q2, kv1, ks1, stoks)
+        o1_b = s2(o1_a, o2_a)
+        o2_b = s2(o2_a, o1_a)
+        pooled = pooled_feats(self._combine(o1_b, o2_b), self.pool_type)
+        logits = self._match_head(pooled, train=train)[..., 0]
+        return logits.reshape(nt, nd)
+
     # ---- full forward ------------------------------------------------------
 
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = True,

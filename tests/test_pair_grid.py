@@ -122,3 +122,36 @@ def test_decomposed_stage_matches_full_call():
     hoisted = blk.apply(v, sf, None, tf, None, template_pos=pos)
     np.testing.assert_allclose(np.asarray(hoisted), np.asarray(full),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_image_grid_matches_naive_pair_path():
+    """ImageReIDNet.match_logits_grid (CrossLinAttn factorization) equals the
+    naive pair-broadcast + match_logits path."""
+    from point_cloud_reid_tpu.configs import EXPERIMENTS
+    name = next(n for n in EXPERIMENTS if "deit-tiny" in n and "nus" in n
+                and not n.startswith("testing"))
+    cfg = get_experiment(name)
+    model = build_model(dict(cfg["model"]))
+    nt, nd, S = 3, 4, 10
+    C = model.downsample_dim
+    rs = np.random.RandomState(0)
+    h_t = jnp.asarray(rs.randn(nt, S, C).astype(np.float32))
+    h_d = jnp.asarray(rs.randn(nd, S, C).astype(np.float32))
+    # init only the match stages + head (method-scoped init skips the ViT)
+    variables = model.init(jax.random.PRNGKey(0), h_t[:1], h_t[:1],
+                           train=False, method="match_logits")
+
+    def pair(a, b):
+        pa = jnp.broadcast_to(a[:, None], (nt, nd) + a.shape[1:]
+                              ).reshape((nt * nd,) + a.shape[1:])
+        pb = jnp.broadcast_to(b[None, :], (nt, nd) + b.shape[1:]
+                              ).reshape((nt * nd,) + b.shape[1:])
+        return pa, pb
+
+    h1, h2 = pair(h_t, h_d)
+    naive = model.apply(variables, h1, h2, train=False,
+                        method="match_logits").reshape(nt, nd)
+    fast = model.apply(variables, h_t, h_d, train=False,
+                       method="match_logits_grid")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(naive),
+                               rtol=1e-4, atol=1e-5)
