@@ -105,19 +105,29 @@ class ConvBNReLU(nn.Module):
     Works on (B, ..., C); BN normalizes each channel over all leading axes — under
     SPMD jit with a batch-sharded input this mean/var is the GLOBAL batch statistic,
     i.e. SyncBN (reference ops/norm.py NaiveSyncBatchNorm) for free.
+
+    setup-based so callers can split the conv algebraically (the SA stages'
+    edge-feature path factors the kernel into per-input-block matmuls,
+    SetAbstractionEdgeSA) and then apply `norm_act` on the assembled output;
+    param names ('conv', 'bn') are unchanged.
     """
 
     features: int
     dtype: Any = jnp.float32
     use_bias: bool = True
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        x = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
-                     name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.dtype, name="bn")(x)
+    def setup(self):
+        self.conv = nn.Dense(self.features, use_bias=self.use_bias,
+                             dtype=self.dtype)
+        self.bn = nn.BatchNorm(use_running_average=None, momentum=0.9,
+                               epsilon=1e-5, dtype=self.dtype)
+
+    def norm_act(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        x = self.bn(x, use_running_average=not train)
         return nn.relu(x)
+
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        return self.norm_act(self.conv(x), train=train)
 
 
 class LinearGN(nn.Module):

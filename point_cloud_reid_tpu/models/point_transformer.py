@@ -20,12 +20,27 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops import sample_and_group_edge, sample_and_group_all
+from ..ops.geometry import (farthest_point_sample, index_points, knn_indices,
+                            query_ball_point, random_point_sample)
 from .attention_blocks import FPSA, SelfAttentionBlock
 from .layers import ConvBNReLU
 
 
 class SetAbstractionEdgeSA(nn.Module):
-    """One SA stage: sample+group edge features -> shared MLP -> max over k -> SA."""
+    """One SA stage: sample+group edge features -> shared MLP -> max over k -> SA.
+
+    The first MLP layer is applied in FACTORED form when features are present
+    (edge_split=True, the default): the edge tensor
+    [dxyz || center || grouped-center] is never materialized — conv1 is
+    linear, so its kernel splits into per-block matmuls
+
+        out1 = dxyz @ W_d  +  gather(points @ W_g)  +  center @ (W_c - W_g) + b
+
+    and the expensive grouped projection becomes a per-POINT matmul followed
+    by a gather (K-times fewer MACs; at the flagship's SA3 widths, 434 -> 105
+    GFLOP for the layer). Exact up to float reassociation — equality pinned
+    by tests/test_models.py::test_sa_edge_split_matches_materialized.
+    """
 
     mlp: Sequence[int]          # [in, h1, h2, h3]; in gets +3 when use_xyz
     nsample: int
@@ -35,28 +50,73 @@ class SetAbstractionEdgeSA(nn.Module):
     use_knn: bool = True
     group_all: bool = False
     knn_method: str = "argsort"
+    edge_split: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, points: Optional[jnp.ndarray],
                  numpoints: int, train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """xyz: (B, N, 3); points: (B, N, D) or None -> (B, S, 3), (B, S, C_out)."""
-        if self.group_all:
-            new_xyz, new_points = sample_and_group_all(xyz, points)
+        blocks = [ConvBNReLU(f, dtype=self.dtype, name=f"mlp_{i}")
+                  for i, f in enumerate(self.mlp[1:])]
+
+        use_split = (self.edge_split and not self.group_all
+                     and points is not None)
+        if use_split:
+            new_xyz, h = self._split_first_layer(blocks[0], xyz, points,
+                                                 numpoints, train)
+            rest = blocks[1:]
         else:
-            new_xyz, new_points = sample_and_group_edge(
-                nsample=self.nsample, xyz=xyz, points=points, numpoints=numpoints,
-                sampling=self.sampling, radius=self.radius, use_knn=self.use_knn,
-                knn_method=self.knn_method,
-            )
-        # (B, S, K, Cin) -> shared Conv-BN-ReLU MLP over the channel dim
-        h = new_points
-        for i, f in enumerate(self.mlp[1:]):
-            h = ConvBNReLU(f, dtype=self.dtype, name=f"mlp_{i}")(h, train=train)
+            if self.group_all:
+                new_xyz, new_points = sample_and_group_all(xyz, points)
+            else:
+                new_xyz, new_points = sample_and_group_edge(
+                    nsample=self.nsample, xyz=xyz, points=points,
+                    numpoints=numpoints, sampling=self.sampling,
+                    radius=self.radius, use_knn=self.use_knn,
+                    knn_method=self.knn_method,
+                )
+            h = blocks[0](new_points, train=train)
+            rest = blocks[1:]
+        for blk in rest:
+            h = blk(h, train=train)
         h = jnp.max(h, axis=2)                                   # max over k
         h = SelfAttentionBlock(self.mlp[-1], nhead=2, dtype=self.dtype,
                                name="self_attention")(h, new_xyz)
         return new_xyz, h
+
+    def _split_first_layer(self, blk0, xyz, points, numpoints, train):
+        """Factored conv1 over edge features (see class docstring)."""
+        D = points.shape[-1]
+        if self.is_initializing():
+            # create conv params at the full edge width without the big tensor
+            blk0.conv(jnp.zeros((1, 3 + 2 * D), points.dtype))
+        if self.sampling == "FPS":
+            fps_idx = farthest_point_sample(xyz, numpoints)
+        else:
+            fps_idx = random_point_sample(xyz, numpoints)
+        new_xyz = index_points(xyz, fps_idx)
+        if self.use_knn:
+            idx = knn_indices(self.nsample, xyz, new_xyz,
+                              method=self.knn_method)
+        else:
+            idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
+
+        kernel = blk0.conv.variables["params"]["kernel"]          # (3+2D, C1)
+        w_d = kernel[:3]
+        w_c = kernel[3:3 + D]
+        w_g = kernel[3 + D:]
+        bias = blk0.conv.variables["params"]["bias"]
+        dt = self.dtype
+        grouped_xyz = index_points(xyz, idx)                      # (B, S, K, 3)
+        dxyz = (grouped_xyz - new_xyz[:, :, None, :]).astype(dt)
+        proj_g = points.astype(dt) @ w_g.astype(dt)               # (B, N, C1)
+        proj_c = points.astype(dt) @ (w_c - w_g).astype(dt)
+        out1 = (dxyz @ w_d.astype(dt)
+                + index_points(proj_g, idx)
+                + index_points(proj_c, fps_idx)[:, :, None, :]
+                + bias.astype(dt))
+        return new_xyz, blk0.norm_act(out1, train=train)
 
 
 class FeaturePropagationSA(nn.Module):

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import chex
 
 from point_cloud_reid_tpu.models import ReIDNet, ReIDNetCosine
 from point_cloud_reid_tpu.train.losses import (bce_with_logits, kl_pair_loss,
@@ -132,3 +133,29 @@ def test_reid_losses_aggregate():
         float(total),
         float(log["match_loss"] + log["kl_loss"] + log["triplet_loss"]),
         rtol=1e-5)
+
+
+def test_sa_edge_split_matches_materialized():
+    """The factored first-conv path (edge_split=True) must match the
+    materialized edge-tensor path up to float reassociation."""
+    from point_cloud_reid_tpu.models.point_transformer import (
+        SetAbstractionEdgeSA)
+    rs = np.random.RandomState(0)
+    B, N, S, K, D, C1 = 3, 24, 12, 8, 10, 16
+    xyz = jnp.asarray(rs.randn(B, N, 3).astype(np.float32))
+    pts = jnp.asarray(rs.randn(B, N, D).astype(np.float32))
+    kw = dict(mlp=[3 + 2 * D, C1, C1, C1], nsample=K)
+    split = SetAbstractionEdgeSA(edge_split=True, **kw)
+    naive = SetAbstractionEdgeSA(edge_split=False, **kw)
+    v = split.init(jax.random.PRNGKey(0), xyz, pts, S, train=False)
+    v2 = naive.init(jax.random.PRNGKey(0), xyz, pts, S, train=False)
+    # identical param trees (same shapes, same rng paths)
+    chex.assert_trees_all_equal_shapes(v, v2)
+    for a, b in zip(jax.tree_util.tree_leaves(v),
+                    jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    xs, hs = split.apply(v, xyz, pts, S, train=False)
+    xn, hn = naive.apply(v, xyz, pts, S, train=False)
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(xn))
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hn),
+                               rtol=2e-4, atol=2e-5)
