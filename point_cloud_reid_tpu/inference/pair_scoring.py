@@ -104,10 +104,8 @@ def _pallas_grid_ok(model, image_mode: bool, mesh) -> bool:
 
 
 def _pallas_det_block(nd: int) -> int:
-    for bd in (16, 8, 4, 2, 1):
-        if nd % bd == 0:
-            return bd
-    return 1
+    """Largest det block <=16 dividing nd (callers guarantee nd % 8 == 0)."""
+    return 16 if nd % 16 == 0 else 8
 
 
 def _embed_tokens(model, variables, crops, image_mode: bool):
@@ -139,6 +137,7 @@ class PairScorer:
         # (measured 1.5x the hoisted XLA grid at 128x128 on v5e); 'xla'
         # forces the hoisted XLA path (e.g. for mesh scale-out or debugging).
         assert backend in ("auto", "pallas", "xla"), backend
+        self._backend = backend
         self._use_pallas = (backend in ("auto", "pallas")
                             and _pallas_grid_ok(model, image_mode, mesh))
         if backend == "pallas" and not self._use_pallas:
@@ -165,6 +164,7 @@ class PairScorer:
 
         flat_spec = self._flat_spec
         use_pallas = self._use_pallas
+        forced_pallas = backend == "pallas"
 
         @jax.jit
         def _score_grid(variables, h_t, xyz_t, h_d, xyz_d):
@@ -182,10 +182,18 @@ class PairScorer:
                                    method="match_logits_grid",
                                    pair_sharding=flat_spec)
             if use_pallas:
-                from ..ops.pallas.match_grid import pallas_grid_logits
-                return pallas_grid_logits(model, variables, h_t, xyz_t,
-                                          h_d, xyz_d,
-                                          det_block=_pallas_det_block(nd_p))
+                if nd_p % 8 == 0:
+                    from ..ops.pallas.match_grid import pallas_grid_logits
+                    return pallas_grid_logits(
+                        model, variables, h_t, xyz_t, h_d, xyz_d,
+                        det_block=_pallas_det_block(nd_p))
+                # det blocks < 8 would violate Mosaic's (8, 128) output-block
+                # rule; non-divisible counts (pad=False callers) use XLA —
+                # silently under 'auto', loudly when pallas was forced
+                if forced_pallas:
+                    raise ValueError(
+                        f"backend='pallas' requires a det count divisible by "
+                        f"8, got {nd_p} (use pad=True or backend='auto')")
             return model.apply(variables, h_t, xyz_t, h_d, xyz_d,
                                train=False, method="match_logits_grid",
                                pair_sharding=flat_spec)
@@ -268,7 +276,10 @@ class PairScorer:
         """
         model, image_mode = self.model, self.image_mode
         flat_spec = self._flat_spec
-        use_pallas = self._use_pallas
+        use_pallas = self._use_pallas and n_dets % 8 == 0
+        if self._backend == "pallas" and self._use_pallas and not use_pallas:
+            raise ValueError(f"backend='pallas' requires n_dets divisible by "
+                             f"8, got {n_dets}")
         assert not (image_mode and crop_points), \
             "on-device box crops are a point-branch path"
 
@@ -313,8 +324,13 @@ class PairScorer:
     def score_frame(self, cache: FeatureCache, track_ids, det_crops,
                     track_classes=None, det_classes=None):
         """One tracking frame (10 Hz workload): embed new detections, score
-        against cached track features, return (cost_matrix, det_h, det_xyz)."""
+        against cached track features, return (cost_matrix, det_h, det_xyz).
+
+        A frame with no active tracks (scene start) returns an empty
+        (0, n_dets) matrix — every detection births a track downstream."""
         xyz_d, h_d = self.embed(det_crops)
+        if len(track_ids) == 0:
+            return jnp.zeros((0, h_d.shape[0])), h_d, xyz_d
         h_t, xyz_t = cache.gather(track_ids)
         mat = self.cost_matrix(h_t, xyz_t, h_d, xyz_d,
                                track_classes, det_classes)

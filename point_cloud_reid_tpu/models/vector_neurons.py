@@ -26,8 +26,9 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.geometry import index_points, square_distance
 import jax
+
+from ..ops.geometry import index_points, knn_feature_space
 
 EPS = 1e-6
 
@@ -44,9 +45,8 @@ def vn_graph_feature(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """
     B, N = x.shape[0], x.shape[1]
     flat = x.reshape(B, N, -1)                                  # (B, N, 3C)
-    d = square_distance(flat, flat)
-    _, idx = jax.lax.top_k(-d, k)                               # (B, N, k)
-    neigh = index_points(x.reshape(B, N, -1), idx.astype(jnp.int32))
+    idx = knn_feature_space(jnp.swapaxes(flat, -1, -2), k)      # (B, N, k)
+    neigh = index_points(flat, idx)
     neigh = neigh.reshape(B, N, k, *x.shape[2:])                # (B, N, k, 3, C)
     center = jnp.broadcast_to(x[:, :, None], neigh.shape)
     return jnp.concatenate([neigh - center, center], axis=-1)   # (B, N, k, 3, 2C)

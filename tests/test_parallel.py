@@ -184,3 +184,27 @@ def test_fused_frame_fn_sharded():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_score_frame_zero_tracks():
+    """Scene-start frame with no active tracks returns an empty cost matrix
+    instead of crashing in FeatureCache.gather."""
+    import jax
+    import jax.numpy as jnp
+    from point_cloud_reid_tpu.configs import get_experiment
+    from point_cloud_reid_tpu.inference import FeatureCache, PairScorer
+    from point_cloud_reid_tpu.models import build_model
+
+    cfg = get_experiment("pts_point-transformer_point-cat_nus_det_4x256_500e")
+    model = build_model(dict(cfg["model"]))
+    rng = jax.random.PRNGKey(0)
+    batch = dict(sparse_1=jax.random.normal(rng, (2, 16, 3)),
+                 sparse_2=jax.random.normal(rng, (2, 16, 3)),
+                 id_1=jnp.zeros((2,), jnp.int32),
+                 id_2=jnp.zeros((2,), jnp.int32))
+    variables = model.init(jax.random.PRNGKey(1), batch, train=False)
+    scorer = PairScorer(model, variables)
+    dets = jax.random.normal(jax.random.PRNGKey(2), (5, 16, 3))
+    mat, h_d, xyz_d = scorer.score_frame(FeatureCache(), [], dets)
+    assert mat.shape == (0, 5)
+    assert h_d.shape[0] == 5
