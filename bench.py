@@ -130,7 +130,24 @@ def _bench_tracker(model, variables):
     peak = _peak_flops()
     if flops and peak:
         mfu = flops / (dt / n_iters) / peak
-    return pairs_per_sec, dt / n_iters * 1e3, sync_ms, mfu
+
+    # Waymo-scale dense frame: 256 tracks x 256 dets = 65k pairs (best-effort)
+    big = None
+    try:
+        NT2 = ND2 = 256
+        dets2 = jax.random.normal(jax.random.PRNGKey(4), (ND2, NPTS, 3))
+        tracks2 = jax.random.normal(jax.random.PRNGKey(5), (NT2, NPTS, 3))
+        xyz_t2, h_t2 = scorer.embed(tracks2)
+        frame2 = scorer.make_frame_fn(NT2, ND2)
+        _sync(frame2(h_t2, xyz_t2, dets2)[0])
+        t2 = time.perf_counter()
+        for _ in range(10):
+            mat2, _, _ = frame2(h_t2, xyz_t2, dets2)
+        _sync(mat2)
+        big = (time.perf_counter() - t2) / 10 * 1e3
+    except Exception:
+        pass
+    return pairs_per_sec, dt / n_iters * 1e3, sync_ms, mfu, big
 
 
 def _bench_train_step(model):
@@ -219,7 +236,7 @@ def main():
     )
     variables = model.init(jax.random.PRNGKey(1), batch, train=False)
 
-    pairs_per_sec, frame_ms, frame_sync_ms, frame_mfu = _bench_tracker(
+    pairs_per_sec, frame_ms, frame_sync_ms, frame_mfu, big_ms = _bench_tracker(
         model, variables)
     n_chips = max(jax.device_count(), 1)
     value = pairs_per_sec / n_chips
@@ -227,6 +244,7 @@ def main():
     secondary = dict(tracker_frame_ms=round(frame_ms, 3),
                      tracker_frame_ms_sync=round(frame_sync_ms, 3),
                      tracker_mfu=round(frame_mfu, 4) if frame_mfu else None,
+                     tracker_frame_256x256_ms=round(big_ms, 2) if big_ms else None,
                      device_kind=jax.devices()[0].device_kind)
     try:
         step_ms, sps, mfu = _bench_train_step(model)

@@ -291,6 +291,43 @@ def pallas_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
     return logits.reshape(nt, nd)
 
 
+def sharded_pallas_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
+                               mesh, det_block: int = 8,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Multi-chip pallas grid: detections sharded over every mesh axis, each
+    device runs the fused kernel on its det shard (tracks replicated — the
+    small side), results concatenated along the det axis. Zero collectives in
+    the forward: pairs are independent, exactly the scale-out structure of
+    the XLA path's pair-axis sharding constraint.
+
+    Requires nd % (mesh.size * 8) == 0 (each shard needs whole det blocks).
+    `interpret=True` lets the 8-device virtual CPU mesh validate the exact
+    same program (tests/test_pair_grid.py).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map                   # jax >= 0.4.35
+    except ImportError:                             # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    n_dev = mesh.size
+    nd = h_d.shape[0]
+    assert nd % (n_dev * 8) == 0, (nd, n_dev)
+    axes = tuple(mesh.axis_names)
+
+    def local(h_t, xyz_t, h_d, xyz_d):
+        return pallas_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
+                                  det_block=min(det_block, nd // n_dev),
+                                  interpret=interpret)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(axes), P(axes)),
+                   out_specs=P(None, axes), check_vma=False)
+    h_d = jax.device_put(h_d, NamedSharding(mesh, P(axes)))
+    xyz_d = jax.device_put(xyz_d, NamedSharding(mesh, P(axes)))
+    return fn(h_t, xyz_t, h_d, xyz_d)
+
+
 def stage_weights(params: Dict[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Extract the kernel weight dicts from the flax param tree."""
     s1, s2 = params["cross_stage1"], params["cross_stage2"]

@@ -155,3 +155,28 @@ def test_image_grid_matches_naive_pair_path():
                        method="match_logits_grid")
     np.testing.assert_allclose(np.asarray(fast), np.asarray(naive),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_pallas_grid_matches_xla():
+    """shard_map'd pallas grid (dets sharded over the 8-device CPU mesh,
+    interpret mode) == the unsharded XLA grid."""
+    import numpy as _np
+    from jax.sharding import Mesh
+    from point_cloud_reid_tpu.ops.pallas.match_grid import (
+        sharded_pallas_grid_logits)
+    if jax.device_count() < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    model, variables = _make()
+    nt, nd, n = 4, 64, 16          # 8 dets per device -> one det block each
+    tracks = jax.random.normal(jax.random.PRNGKey(8), (nt, n, 3))
+    dets = jax.random.normal(jax.random.PRNGKey(9), (nd, n, 3))
+    x_t, h_t = _embed(model, variables, tracks)
+    x_d, h_d = _embed(model, variables, dets)
+    xla = model.apply(variables, h_t, x_t, h_d, x_d, train=False,
+                      method="match_logits_grid")
+    mesh = Mesh(_np.array(jax.devices()[:8]).reshape(4, 2), ("data", "pairs"))
+    out = sharded_pallas_grid_logits(model, variables, h_t, x_t, h_d, x_d,
+                                     mesh, det_block=8, interpret=True)
+    assert out.shape == (nt, nd)
+    _np.testing.assert_allclose(_np.asarray(out), _np.asarray(xla),
+                                rtol=2e-4, atol=2e-5)
