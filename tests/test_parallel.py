@@ -208,3 +208,40 @@ def test_score_frame_zero_tracks():
     mat, h_d, xyz_d = scorer.score_frame(FeatureCache(), [], dets)
     assert mat.shape == (0, 5)
     assert h_d.shape[0] == 5
+
+
+def test_remat_train_step_matches_plain():
+    """remat=True (jax.checkpoint) must produce the same loss/grads as the
+    plain step — it only changes what is stored vs recomputed."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from point_cloud_reid_tpu.configs import get_experiment
+    from point_cloud_reid_tpu.models import build_model
+    from point_cloud_reid_tpu.train import (TrainState, build_optimizer,
+                                            make_train_step)
+    from point_cloud_reid_tpu.train.schedules import ScheduleConfig
+
+    cfg = get_experiment("pts_point-transformer_point-cat_nus_det_4x256_500e")
+    model = build_model(dict(cfg["model"]))
+    B, N = 4, 16
+    rng = jax.random.PRNGKey(0)
+    batch = dict(sparse_1=jax.random.normal(rng, (B, N, 3)),
+                 sparse_2=jax.random.normal(jax.random.PRNGKey(1), (B, N, 3)),
+                 label_1=jnp.zeros((B,), jnp.int32),
+                 label_2=jnp.ones((B,), jnp.int32),
+                 id_1=jnp.arange(B, dtype=jnp.int32),
+                 id_2=jnp.arange(B, dtype=jnp.int32) % 2)
+    tx = build_optimizer(ScheduleConfig(max_epochs=1), steps_per_epoch=10)
+    state = TrainState.create(model, tx, batch, rng=jax.random.PRNGKey(2))
+    plain = make_train_step(model, tx, dict(match=True), {}, donate=False)
+    remat = make_train_step(model, tx, dict(match=True), {}, donate=False,
+                            remat=True)
+    s1, log1 = jax.jit(plain)(state, batch, jax.random.PRNGKey(3))
+    s2, log2 = jax.jit(remat)(state, batch, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(float(log1["reid_loss"]),
+                               float(log2["reid_loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

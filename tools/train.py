@@ -44,6 +44,9 @@ def parse_args(argv=None):
                    help="global batch; default samples_per_device * n_devices")
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--synthetic-objects", type=int, default=60)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward in backward "
+                        "(jax.checkpoint) — fits ~4x larger per-chip batches")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (TPU mixed precision)")
     return p.parse_args(argv)
@@ -111,6 +114,7 @@ def build_all(cfg, args):
         fp_label_threshold=dcfg["fp_label_threshold"],
         triplet_margin=cfg.get("triplet_margin", 0.2),
         triplet_sample_num=cfg.get("triplet_sample_num", 5),
+        remat=args.remat,
     )
     trainer = Trainer(model, tx, train_loader, val_loader, runtime, mesh=mesh)
 
