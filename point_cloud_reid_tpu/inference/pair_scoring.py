@@ -65,6 +65,69 @@ class FeatureCache:
         return len(self._h)
 
 
+class DeviceTrackCache:
+    """Device-RESIDENT per-track embedding store.
+
+    The host FeatureCache round-trips every track's features through host
+    memory each frame — ~8 MB of PCIe (or, here, tunnel) traffic per dense
+    frame, which dominates the measured end-to-end tracker step. This cache
+    keeps a fixed-capacity (cap, N, C) buffer ON DEVICE; the fused frame
+    program gathers track rows by slot index, scatters last frame's
+    detection features into their assigned slots, and only the (t_pad, d_pad)
+    logits ever cross the host boundary.
+
+    Slot bookkeeping (track id -> slot, free list, pending det->slot updates
+    decided by the host-side association) is tiny host state. Slot `cap` is
+    a scratch row: padded gathers read it, masked-out scatters write it.
+    """
+
+    def __init__(self, capacity: int = 512):
+        self.capacity = capacity
+        self._slots: Dict[int, int] = {}
+        self._free = list(range(capacity))
+        self.h_buf = None                   # (cap+1, N, C) device
+        self.xyz_buf = None                 # (cap+1, N, 3) device
+        # (prev_h_dets, prev_xyz_dets) device handles + [(det_idx, slot)]
+        self._prev = None
+        self._pending: list = []
+
+    def ensure(self, n: int, c: int, dtype):
+        if self.h_buf is None:
+            self.h_buf = jnp.zeros((self.capacity + 1, n, c), dtype)
+            self.xyz_buf = jnp.zeros((self.capacity + 1, n, 3), jnp.float32)
+
+    def slot(self, track_id: int) -> int:
+        return self._slots[int(track_id)]
+
+    def assign(self, track_id: int) -> int:
+        s = self._free.pop()
+        self._slots[int(track_id)] = s
+        return s
+
+    def drop(self, track_ids):
+        for tid in track_ids:
+            s = self._slots.pop(int(tid), None)
+            if s is not None:
+                self._free.append(s)
+
+    def queue_update(self, det_idx: int, slot: int):
+        self._pending.append((det_idx, slot))
+
+    def take_updates(self, d_prev_pad: int):
+        """Pending (src det row, dst slot) pairs as padded index arrays;
+        unused entries read det row 0 and write the scratch slot."""
+        src = np.zeros((d_prev_pad,), np.int32)
+        dst = np.full((d_prev_pad,), self.capacity, np.int32)
+        for i, (di, s) in enumerate(self._pending[:d_prev_pad]):
+            src[i] = di
+            dst[i] = s
+        self._pending = []
+        return src, dst
+
+    def __len__(self):
+        return len(self._slots)
+
+
 def _round_up(n: int, sizes=(8, 16, 32, 64, 128, 256, 512)) -> int:
     for s in sizes:
         if n <= s:
@@ -319,6 +382,55 @@ class PairScorer:
             return frame(self.variables, h_t, xyz_t, dets)
 
         call.jitted = frame     # expose for AOT cost analysis (bench MFU)
+        return call
+
+    def make_cached_frame_fn(self, t_pad: int, d_pad: int, d_prev_pad: int,
+                             capacity: int, crop_points: int):
+        """Fused frame against a DeviceTrackCache: ONE program does
+        [scatter last frame's det features into their track slots] ->
+        [gather this frame's track rows by slot] -> [crop + embed dets] ->
+        [full grid score]. Only the logits are fetched; detection features
+        stay on device as next frame's scatter source.
+
+        Point branch only. Returns fn(h_buf, xyz_buf, prev_h, prev_xyz,
+        upd_src (d_prev_pad,), upd_dst, slot_idx (t_pad,), seed, pts, boxes)
+        -> (new_h_buf, new_xyz_buf, logits (t_pad, d_pad), h_dets, xyz_dets).
+        """
+        assert not self.image_mode, "device cache is a point-branch path"
+        model = self.model
+        use_pallas = self._use_pallas and d_pad % 8 == 0
+        flat_spec = self._flat_spec
+
+        @jax.jit
+        def frame(variables, h_buf, xyz_buf, prev_h, prev_xyz,
+                  upd_src, upd_dst, slot_idx, seed, pts, boxes):
+            # scatter: masked-out rows target the scratch slot `capacity`
+            h_buf = h_buf.at[upd_dst].set(prev_h[upd_src])
+            xyz_buf = xyz_buf.at[upd_dst].set(prev_xyz[upd_src])
+            h_t = h_buf[slot_idx]
+            xyz_t = xyz_buf[slot_idx]
+
+            from ..tracking.crops import extract_box_crops
+            det_crops, _ = extract_box_crops(jax.random.PRNGKey(seed), pts,
+                                             boxes, crop_points)
+            xyz_d, h_d = _embed_tokens(model, variables, det_crops, False)
+            if use_pallas:
+                from ..ops.pallas.match_grid import pallas_grid_logits
+                logits = pallas_grid_logits(
+                    model, variables, h_t, xyz_t, h_d, xyz_d,
+                    det_block=_pallas_det_block(d_pad))
+            else:
+                logits = model.apply(variables, h_t, xyz_t, h_d, xyz_d,
+                                     train=False, method="match_logits_grid",
+                                     pair_sharding=flat_spec)
+            return h_buf, xyz_buf, logits, h_d, xyz_d
+
+        def call(h_buf, xyz_buf, prev_h, prev_xyz, upd_src, upd_dst,
+                 slot_idx, seed, pts, boxes):
+            return frame(self.variables, h_buf, xyz_buf, prev_h, prev_xyz,
+                         upd_src, upd_dst, slot_idx, seed, pts, boxes)
+
+        call.jitted = frame
         return call
 
     def score_frame(self, cache: FeatureCache, track_ids, det_crops,

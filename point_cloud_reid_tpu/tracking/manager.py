@@ -44,7 +44,9 @@ class TrackingManager:
                  match_threshold: float = 0.7, max_distance: float = 2.0,
                  method: str = "greedy", max_age: int = 3, min_hits: int = 1,
                  nms_threshold: Optional[float] = None, seed: int = 0,
-                 crop_fn=None, eval_recorder=None):
+                 crop_fn=None, eval_recorder=None,
+                 device_cache: Optional[bool] = None,
+                 cache_capacity: int = 512):
         """crop_fn(frame_data, boxes_padded (M,7)) -> (M, ...) crops overrides
         the default lidar extractor — the image branch passes a closure over
         tracking.image_crops.crops_per_frame (ImageReidentifier workload,
@@ -71,6 +73,21 @@ class TrackingManager:
         # fused frame programs per (track, det) bucket (SURVEY §7 hard part 4:
         # variable counts -> bucketed padding, one compile per bucket)
         self._full_frame_fns = {}
+        # device-resident track features (DeviceTrackCache): per frame only
+        # the sweep goes up and the logits come down — the host FeatureCache
+        # round-trips ~8 MB of track/det features per dense frame, which
+        # dominates PCIe/tunnel-bound deployments. Auto-on for the fused
+        # point path.
+        from ..inference.pair_scoring import DeviceTrackCache
+        self._use_device_cache = (
+            device_cache if device_cache is not None
+            else (crop_fn is None
+                  and not getattr(scorer, "image_mode", False)))
+        self._dc = DeviceTrackCache(cache_capacity)
+        self._cached_frame_fns = {}
+        self._prev_h = None
+        self._prev_xyz = None
+        self._prev_d_pad = 8
 
     def _full_frame_fn(self, t_pad: int, d_pad: int):
         """ONE jitted program per (track, det) bucket for the frame's device
@@ -91,7 +108,9 @@ class TrackingManager:
             dying = [t for t in self.store.tracks.values()
                      if t.age > self.store.max_age]
             self.eval_recorder.observe_dead(dying)
-        self.cache.drop(self.store.prune())
+        pruned = self.store.prune()
+        self.cache.drop(pruned)
+        self._dc.drop(pruned)
 
     def end_scene(self):
         """Scene boundary for the eval recorder, then reset tracker state."""
@@ -101,10 +120,59 @@ class TrackingManager:
 
     def reset(self):
         """New scene (VirtualTracker.reset)."""
+        from ..inference.pair_scoring import DeviceTrackCache
         self.store = TrackStore(max_age=self.store.max_age,
                                 min_hits=self.store.min_hits)
         self.cache = FeatureCache()
+        self._dc = DeviceTrackCache(self._dc.capacity)
+        self._prev_h = self._prev_xyz = None
+        self._prev_d_pad = 8
         self.timestep = -1
+
+    def _cached_frame_fn(self, t_pad: int, d_pad: int, d_prev_pad: int):
+        key = (t_pad, d_pad, d_prev_pad)
+        if key not in self._cached_frame_fns:
+            self._cached_frame_fns[key] = self.scorer.make_cached_frame_fn(
+                t_pad, d_pad, d_prev_pad, self._dc.capacity,
+                self.subsample_number)
+        return self._cached_frame_fns[key]
+
+    def _step_device_cached(self, pts: np.ndarray, boxes_p: np.ndarray,
+                            D: int, active):
+        """Device-cache frame: returns (logits (T, D) np or None, h_d, xyz_d
+        DEVICE handles). Applies last frame's pending feature scatters."""
+        dc = self._dc
+        d_pad = boxes_p.shape[0]
+        self._seed += 1
+        if dc.h_buf is None:
+            # bootstrap: embed-only (first frame of the scene)
+            crops, _ = extract_box_crops(
+                jax.random.PRNGKey(self._seed), jnp.asarray(pts),
+                jnp.asarray(boxes_p), self.subsample_number)
+            xyz_d, h_d = self.scorer.embed(crops)       # device, NOT fetched
+            dc.ensure(h_d.shape[1], h_d.shape[2], h_d.dtype)
+            self._prev_h, self._prev_xyz, self._prev_d_pad = h_d, xyz_d, d_pad
+            return None, h_d, xyz_d
+        T = len(active)
+        t_pad = _round_up(max(T, 1))
+        slot_idx = np.full((t_pad,), dc.capacity, np.int32)
+        for i, t in enumerate(active):
+            slot_idx[i] = dc.slot(t.track_id)
+        upd_src, upd_dst = dc.take_updates(self._prev_d_pad)
+        fn = self._cached_frame_fn(t_pad, d_pad, self._prev_d_pad)
+        # ONE host->device transfer for all per-frame inputs (each separate
+        # jnp.asarray costs a full tunnel/PCIe round trip)
+        upd_src_d, upd_dst_d, slot_idx_d, pts_d, boxes_d = jax.device_put(
+            (upd_src, upd_dst, slot_idx, pts, boxes_p))
+        dc.h_buf, dc.xyz_buf, logits_dev, h_d, xyz_d = fn(
+            dc.h_buf, dc.xyz_buf, self._prev_h, self._prev_xyz,
+            upd_src_d, upd_dst_d, slot_idx_d, np.int32(self._seed),
+            pts_d, boxes_d)
+        self._prev_h, self._prev_xyz, self._prev_d_pad = h_d, xyz_d, d_pad
+        logits = None
+        if T:
+            logits = np.asarray(logits_dev, np.float64)[:T, :D]
+        return logits, h_d, xyz_d
 
     def _next_rng(self):
         self._rng, k = jax.random.split(self._rng)
@@ -176,7 +244,27 @@ class TrackingManager:
         boxes_p[:D] = det_boxes
 
         active = self.store.active()
-        if active:
+        use_dc = (self._use_device_cache and self.crop_fn is None
+                  and hasattr(self.scorer, "make_cached_frame_fn")
+                  and not getattr(self.scorer, "image_mode", False))
+        if use_dc:
+            logits, h_d, xyz_d = self._step_device_cached(pts, boxes_p, D,
+                                                          active)
+            if active and logits is not None:
+                ok = (np.array([t.cls for t in active])[:, None]
+                      == det_labels[None, :])
+                logits[~ok] = -np.inf
+                cost = 1.0 - 1.0 / (1.0 + np.exp(-logits))
+                pred_boxes = np.stack([t.predict(self.timestep)
+                                       for t in active])
+                gate = center_distance_gate(pred_boxes, det_boxes,
+                                            self.max_distance)
+                matches, unmatched_t, unmatched_d = associate(
+                    cost, threshold=self.match_threshold, method=self.method,
+                    gate=gate)
+            else:
+                matches, unmatched_t, unmatched_d = [], [], list(range(D))
+        elif active:
             track_ids = [t.track_id for t in active]
             h_t, xyz_t = self.cache.gather(track_ids)
             T = len(track_ids)
@@ -227,8 +315,13 @@ class TrackingManager:
         for ti, di in matches:
             t = active[ti]
             t.update(det_boxes[di], det_scores[di], self.timestep)
-            self.cache.update([t.track_id], h_d[di:di + 1],
-                              xyz_d[di:di + 1] if xyz_d is not None else None)
+            if use_dc:
+                # features never touch the host: scatter at next frame start
+                self._dc.queue_update(di, self._dc.slot(t.track_id))
+            else:
+                self.cache.update(
+                    [t.track_id], h_d[di:di + 1],
+                    xyz_d[di:di + 1] if xyz_d is not None else None)
             if det_gt_ids is not None:
                 matched_rec.append((t.track_id, det_gt_ids[di],
                                     det_labels[di]))
@@ -237,8 +330,12 @@ class TrackingManager:
         for di in unmatched_d:
             t = self.store.new_track(det_labels[di], det_boxes[di],
                                      det_scores[di], self.timestep)
-            self.cache.update([t.track_id], h_d[di:di + 1],
-                              xyz_d[di:di + 1] if xyz_d is not None else None)
+            if use_dc:
+                self._dc.queue_update(di, self._dc.assign(t.track_id))
+            else:
+                self.cache.update(
+                    [t.track_id], h_d[di:di + 1],
+                    xyz_d[di:di + 1] if xyz_d is not None else None)
             if det_gt_ids is not None:
                 newborn_rec.append((t.track_id, det_gt_ids[di],
                                     det_labels[di]))
