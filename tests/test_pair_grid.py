@@ -180,3 +180,55 @@ def test_sharded_pallas_grid_matches_xla():
     assert out.shape == (nt, nd)
     _np.testing.assert_allclose(_np.asarray(out), _np.asarray(xla),
                                 rtol=2e-4, atol=2e-5)
+
+
+def test_cosine_grid_matches_pairwise():
+    """ReIDNetCosine.match_logits_grid (one pooled matmul) == per-pair
+    cosine scoring."""
+    from point_cloud_reid_tpu.models import ReIDNetCosine
+    cfg = get_experiment("pts_point-transformer_point-cat_nus_det_4x256_500e")
+    mcfg = dict(cfg["model"])
+    mcfg.pop("type", None)
+    import dataclasses
+    valid = {f.name for f in dataclasses.fields(ReIDNetCosine)}
+    model = ReIDNetCosine(**{k: v for k, v in mcfg.items() if k in valid})
+    rng = jax.random.PRNGKey(0)
+    batch = dict(sparse_1=jax.random.normal(rng, (2, 16, 3)),
+                 sparse_2=jax.random.normal(rng, (2, 16, 3)),
+                 id_1=jnp.zeros((2,), jnp.int32),
+                 id_2=jnp.zeros((2,), jnp.int32))
+    variables = model.init(jax.random.PRNGKey(1), batch, train=False)
+    nt, nd = 5, 3
+    x_t, h_t = _embed(model, variables, jax.random.normal(
+        jax.random.PRNGKey(2), (nt, 16, 3)))
+    x_d, h_d = _embed(model, variables, jax.random.normal(
+        jax.random.PRNGKey(3), (nd, 16, 3)))
+    grid = model.apply(variables, h_t, x_t, h_d, x_d,
+                       method="match_logits_grid")
+    for i in range(nt):
+        for j in range(nd):
+            ref, _ = model.apply(variables, h_t[i:i + 1], x_t[i:i + 1],
+                                 h_d[j:j + 1], x_d[j:j + 1], train=False,
+                                 method="match_logits")
+            np.testing.assert_allclose(float(grid[i, j]), float(ref[0]),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_device_track_cache_slots():
+    """Slot assign/recycle + padded update indices (scratch-row semantics)."""
+    from point_cloud_reid_tpu.inference.pair_scoring import DeviceTrackCache
+    dc = DeviceTrackCache(capacity=4)
+    s1 = dc.assign(10)
+    s2 = dc.assign(11)
+    assert dc.slot(10) == s1 and dc.slot(11) == s2 and s1 != s2
+    dc.queue_update(0, s1)
+    src, dst = dc.take_updates(d_prev_pad=8)
+    assert src.shape == (8,) and dst.shape == (8,)
+    assert dst[0] == s1 and src[0] == 0
+    assert (dst[1:] == 4).all()          # padding writes the scratch row
+    dc.drop([10])
+    assert len(dc) == 1
+    s3 = dc.assign(12)
+    assert s3 == s1                       # slot recycled
+    dc.drop([99])                         # unknown id is a no-op
+    assert len(dc) == 2
