@@ -21,6 +21,13 @@ match_forward_inference on the class-wise cartesian product, scattered into an
     device materializes only its shard (never the host), non-divisible grids
     are GSPMD-padded, and 10k+ pair Waymo frames fit per-chip memory
     (>=100k pairs/s target, BASELINE.json).
+  * the per-pair chain itself runs as a fused Pallas kernel where eligible
+    (ops/pallas/match_grid — per-object factors in, pooled features out,
+    nothing per-pair touches HBM), with the hoisted XLA path
+    (ReIDNet.match_logits_grid) as the mesh/CPU/fallback backend.
+  * deployment: DeviceTrackCache keeps track features device-resident so a
+    tracking frame's host I/O is the sweep up and the logits down — nothing
+    else crosses PCIe (or, here, the tunnel).
 """
 from __future__ import annotations
 
