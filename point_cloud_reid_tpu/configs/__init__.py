@@ -14,11 +14,12 @@ from .models import (
     point_transformer_baseline,
     image_deit_point_cat,
 )
-from .experiments import EXPERIMENTS, compose, get_experiment, schedule
+from .experiments import (EXPERIMENTS, apply_overrides, compose,
+                          get_experiment, schedule)
 
 __all__ = [
     "nuscenes_pts", "nuscenes_image", "waymo_pts", "waymo_image",
     "point_transformer_point_cat", "pointnet_point_cat", "dgcnn_point_cat",
     "point_transformer_baseline", "image_deit_point_cat",
-    "EXPERIMENTS", "compose", "get_experiment", "schedule",
+    "EXPERIMENTS", "apply_overrides", "compose", "get_experiment", "schedule",
 ]

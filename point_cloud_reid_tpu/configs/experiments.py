@@ -243,8 +243,57 @@ _register("image_beit-base_nus_det_4x60_200e",
           EXPERIMENTS["rgb_beit-base-lin-xcorr_nus_det_4x60_200e"])
 
 
-def get_experiment(name: str, **overrides) -> Dict[str, Any]:
+def apply_overrides(cfg: Dict[str, Any], assignments) -> Dict[str, Any]:
+    """In-place dotted-path config overrides — the reference's --cfg-options
+    (tools/test.py:80-93 DictAction: 'key.sub=val' with literal-eval values,
+    comma-separated lists). Works through nested dicts and dataclass axes
+    (ScheduleConfig): `losses_to_use.kl=true`, `schedule.lr=1e-4`,
+    `model.backbone.mul=2`, `dataset.train.subsample_sparse=256`.
+
+    Unknown paths raise KeyError/AttributeError rather than silently creating
+    config that nothing reads.
+    """
+    import ast
+
+    def parse_val(v: str):
+        low = v.lower()
+        if low in ("true", "false"):
+            return low == "true"
+        if low in ("none", "null"):
+            return None
+        try:
+            r = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            return v
+        # bare comma lists ('64,32,16') literal-eval to tuples; configs use
+        # lists
+        return list(r) if isinstance(r, tuple) else r
+
+    for assignment in assignments or ():
+        if "=" not in assignment:
+            raise ValueError(f"override must be key.path=value, "
+                             f"got {assignment!r}")
+        path, _, raw = assignment.partition("=")
+        keys = path.strip().split(".")
+        node = cfg
+        for k in keys[:-1]:
+            node = node[k] if isinstance(node, dict) else getattr(node, k)
+        leaf = keys[-1]
+        val = parse_val(raw.strip())
+        if isinstance(node, dict):
+            if leaf not in node:
+                raise KeyError(f"unknown config key {path!r} "
+                               f"(no {leaf!r} in {sorted(node)})")
+            node[leaf] = val
+        else:
+            if not hasattr(node, leaf):
+                raise AttributeError(f"unknown config key {path!r}")
+            setattr(node, leaf, val)
+    return cfg
+
+
+def get_experiment(name: str, set_options=None, **overrides) -> Dict[str, Any]:
     if name not in EXPERIMENTS:
         raise KeyError(f"unknown experiment {name}; known: "
                        f"{sorted(EXPERIMENTS)}")
-    return EXPERIMENTS[name](**overrides)
+    return apply_overrides(EXPERIMENTS[name](**overrides), set_options)

@@ -43,6 +43,10 @@ class ObjectRecord:
     # (reidentification_waymo.py:168-196, reidentification_nuscenes.py:320-346,
     # object_loader_base.py:135-139); the store exporter precomputes the norm.
     distance: Dict[str, float] = dataclasses.field(default_factory=dict)
+    # stored image-crop size when it differs from the loader's target size —
+    # the reference reshapes by the metadata size then crops to the target
+    # (object_loader_base.py:285-287); None means crops are already target-size
+    crop_size: Optional[Tuple[int, int]] = None
 
     @property
     def is_fp(self) -> bool:
@@ -77,10 +81,21 @@ class CropStore:
         for r in records:
             if not hasattr(r, "distance"):   # pre-distance-schema pickles
                 r.distance = {}
+            if not hasattr(r, "crop_size"):
+                r.crop_size = None
         self.objects: Dict[str, ObjectRecord] = {r.id: r for r in records}
-        # stable integer id per TP object token (reference
-        # instance_token_to_id.pkl, reidentification_nuscenes.py:20-22)
-        self.token_to_int = {tok: i for i, tok in enumerate(sorted(self.objects))}
+        # stable integer id per TP object token: the real datasets' mapping
+        # (reference instance_token_to_id.pkl,
+        # reidentification_nuscenes.py:20-22) when the importer staged it,
+        # else sorted enumeration — which matches the reference's own
+        # construction (instances sorted by token, datasets/utils.py:71-76)
+        tok_map = os.path.join(root, "token_to_int.pkl")
+        if os.path.exists(tok_map):
+            with open(tok_map, "rb") as f:
+                self.token_to_int = pickle.load(f)
+        else:
+            self.token_to_int = {tok: i
+                                 for i, tok in enumerate(sorted(self.objects))}
 
     # ---- frame filtering (object_loader_base.py:99-141) ---------------------
 
@@ -148,9 +163,13 @@ class CropStore:
         (object_loader_base.py:289-295)."""
         rec = self.objects[obj_id]
         path = os.path.join(self._frame_dir(rec, frame), "img_crop.bin")
+        stored = rec.crop_size or self.crop_size
         try:
-            im = np.fromfile(path, dtype=np.float32).reshape(
-                (3,) + self.crop_size)
+            im = np.fromfile(path, dtype=np.float32).reshape((3,) + tuple(stored))
+            if tuple(im.shape[1:]) != self.crop_size:
+                # reshape by the stored size, crop to the target — the
+                # reference's oversize-crop handling (object_loader_base.py:285-287)
+                im = im[:, :self.crop_size[0], :self.crop_size[1]]
         except (FileNotFoundError, ValueError):
             im = np.zeros((3,) + self.crop_size, dtype=np.float32)
         return im

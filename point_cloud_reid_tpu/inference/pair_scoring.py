@@ -107,6 +107,12 @@ class DeviceTrackCache:
         return self._slots[int(track_id)]
 
     def assign(self, track_id: int) -> int:
+        if not self._free:
+            raise RuntimeError(
+                f"DeviceTrackCache is full: {len(self._slots)} live tracks "
+                f"at cache_capacity={self.capacity}. Construct the cache "
+                f"with a larger capacity (scenes can exceed the default), "
+                f"or drop() dead tracks before assigning new ones.")
         s = self._free.pop()
         self._slots[int(track_id)] = s
         return s
@@ -152,13 +158,15 @@ def _pair_grid(a: jnp.ndarray, b: jnp.ndarray, nt: int, nd: int):
     return pa, pb
 
 
-def _pallas_grid_ok(model, image_mode: bool, mesh) -> bool:
-    """Fused match-grid kernel eligibility: point branch, single chip, the
-    flagship head shape (xcorr_eff / corss_attention / linear / point-cat /
-    both-pool) whose per-pair chain the kernel hard-codes."""
-    if image_mode or mesh is not None:
+def _pallas_grid_ok(model, image_mode: bool, interpret: bool = False) -> bool:
+    """Fused match-grid kernel eligibility: point branch, the flagship head
+    shape (xcorr_eff / corss_attention / linear / point-cat / both-pool)
+    whose per-pair chain the kernel hard-codes. Mesh scale-out runs the
+    shard_map'd kernel (ops.pallas.match_grid.sharded_grid_logits); on CPU
+    the kernel needs interpret mode (Mosaic is TPU-only)."""
+    if image_mode:
         return False
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not interpret:
         return False        # CPU runs use the XLA path (kernel needs Mosaic)
     if type(model).__name__ != "ReIDNet":
         return False
@@ -199,20 +207,25 @@ class PairScorer:
     """
 
     def __init__(self, model, variables, image_mode: bool = False, mesh=None,
-                 backend: str = "auto"):
+                 backend: str = "auto", pallas_interpret: bool = False):
         self.model = model
         self.variables = variables
         self.image_mode = image_mode
         # 'auto' uses the fused pallas match-grid kernel where eligible
-        # (measured 1.5x the hoisted XLA grid at 128x128 on v5e); 'xla'
-        # forces the hoisted XLA path (e.g. for mesh scale-out or debugging).
+        # (measured 1.5x the hoisted XLA grid at 128x128 on v5e) — including
+        # under a mesh, where the shard_map'd kernel runs per det shard;
+        # 'xla' forces the hoisted XLA path (e.g. for debugging).
+        # pallas_interpret runs the kernel in interpret mode (CPU-mesh
+        # validation; never set it on real hardware).
         assert backend in ("auto", "pallas", "xla"), backend
         self._backend = backend
+        self._interpret = pallas_interpret
         self._use_pallas = (backend in ("auto", "pallas")
-                            and _pallas_grid_ok(model, image_mode, mesh))
+                            and _pallas_grid_ok(model, image_mode,
+                                                pallas_interpret))
         if backend == "pallas" and not self._use_pallas:
             raise ValueError("pallas grid backend incompatible with this "
-                             "model/mesh configuration")
+                             "model configuration")
         # optional multi-chip scale-out: the flattened pair batch is sharded
         # over every mesh axis (SURVEY.md §2.6 'sharded NxN pair-scoring' row);
         # XLA partitions the match head SPMD with zero collectives in the
@@ -233,41 +246,73 @@ class PairScorer:
         self._embed = _embed
 
         flat_spec = self._flat_spec
-        use_pallas = self._use_pallas
-        forced_pallas = backend == "pallas"
+        grid_backend = self._grid_backend
+        grid_logits = self._grid_logits
 
         @jax.jit
         def _score_grid(variables, h_t, xyz_t, h_d, xyz_d):
             """Per-object embeddings in, (nt, nd) logits out.
 
-            Point branch: ReIDNet.match_logits_grid — the NxM grid is built
-            INSIDE the sharded program with per-object work (q/k/v, KV
-            summaries, pos-MLPs) hoisted out of the pair batch; each device
-            materializes only its own shard of the flattened pair axis
-            (never the full (nt*nd, N, C) tensor on the host), which is what
-            lets cost_matrix scale to Waymo-size 10k+ pair frames."""
-            nt_p, nd_p = h_t.shape[0], h_d.shape[0]
+            Point branch: the fused pallas kernel where eligible (shard_map'd
+            per det shard under a mesh), else ReIDNet.match_logits_grid — the
+            NxM grid is built INSIDE the sharded program with per-object work
+            (q/k/v, KV summaries, pos-MLPs) hoisted out of the pair batch;
+            each device materializes only its own shard of the flattened pair
+            axis (never the full (nt*nd, N, C) tensor on the host), which is
+            what lets cost_matrix scale to Waymo-size 10k+ pair frames."""
             if image_mode:
                 return model.apply(variables, h_t, h_d, train=False,
                                    method="match_logits_grid",
                                    pair_sharding=flat_spec)
-            if use_pallas:
-                if nd_p % 8 == 0:
-                    from ..ops.pallas.match_grid import pallas_grid_logits
-                    return pallas_grid_logits(
-                        model, variables, h_t, xyz_t, h_d, xyz_d,
-                        det_block=_pallas_det_block(nd_p))
-                # det blocks < 8 would violate Mosaic's (8, 128) output-block
-                # rule; non-divisible counts (pad=False callers) use XLA —
-                # silently under 'auto', loudly when pallas was forced
-                if forced_pallas:
-                    raise ValueError(
-                        f"backend='pallas' requires a det count divisible by "
-                        f"8, got {nd_p} (use pad=True or backend='auto')")
-            return model.apply(variables, h_t, xyz_t, h_d, xyz_d,
-                               train=False, method="match_logits_grid",
-                               pair_sharding=flat_spec)
+            return grid_logits(variables, h_t, xyz_t, h_d, xyz_d,
+                               grid_backend(h_d.shape[0]))
         self._score_grid = _score_grid
+
+    # ---- grid dispatch -------------------------------------------------------
+
+    def _grid_backend(self, nd_p: int) -> str:
+        """Static per-det-count dispatch: 'pallas-sharded' when a mesh is set
+        and every shard gets whole det blocks, 'pallas' single-chip, else
+        'xla'. Det blocks < 8 would violate Mosaic's (8, 128) output-block
+        rule, so non-divisible counts (pad=False callers) use XLA — silently
+        under 'auto', loudly when pallas was forced."""
+        if not self._use_pallas:
+            return "xla"
+        if self.mesh is not None:
+            if nd_p % (self.mesh.size * 8) == 0:
+                return "pallas-sharded"
+            if self._backend == "pallas":
+                raise ValueError(
+                    f"backend='pallas' on a {self.mesh.size}-device mesh "
+                    f"requires a det count divisible by "
+                    f"{self.mesh.size * 8}, got {nd_p}")
+            return "xla"
+        if nd_p % 8 == 0:
+            return "pallas"
+        if self._backend == "pallas":
+            raise ValueError(
+                f"backend='pallas' requires a det count divisible by 8, "
+                f"got {nd_p} (use pad=True or backend='auto')")
+        return "xla"
+
+    def _grid_logits(self, variables, h_t, xyz_t, h_d, xyz_d, backend: str):
+        """Point-branch grid scorer body (shared by every jitted frame
+        program). `backend` must come from _grid_backend for this det count."""
+        if backend == "pallas-sharded":
+            from ..ops.pallas.match_grid import sharded_grid_logits
+            return sharded_grid_logits(
+                self.model, variables, h_t, xyz_t, h_d, xyz_d, self.mesh,
+                det_block=_pallas_det_block(h_d.shape[0] // self.mesh.size),
+                interpret=self._interpret)
+        if backend == "pallas":
+            from ..ops.pallas.match_grid import pallas_grid_logits
+            return pallas_grid_logits(
+                self.model, variables, h_t, xyz_t, h_d, xyz_d,
+                det_block=_pallas_det_block(h_d.shape[0]),
+                interpret=self._interpret)
+        return self.model.apply(variables, h_t, xyz_t, h_d, xyz_d,
+                                train=False, method="match_logits_grid",
+                                pair_sharding=self._flat_spec)
 
     # ---- embedding stage (amortized per object) ------------------------------
 
@@ -346,10 +391,8 @@ class PairScorer:
         """
         model, image_mode = self.model, self.image_mode
         flat_spec = self._flat_spec
-        use_pallas = self._use_pallas and n_dets % 8 == 0
-        if self._backend == "pallas" and self._use_pallas and not use_pallas:
-            raise ValueError(f"backend='pallas' requires n_dets divisible by "
-                             f"8, got {n_dets}")
+        grid_backend = self._grid_backend(n_dets) if not image_mode else "xla"
+        grid_logits = self._grid_logits
         assert not (image_mode and crop_points), \
             "on-device box crops are a point-branch path"
 
@@ -374,15 +417,8 @@ class PairScorer:
                                      method="match_logits_grid",
                                      pair_sharding=flat_spec)
                 return logits, h_d, xyz_d
-            if use_pallas:
-                from ..ops.pallas.match_grid import pallas_grid_logits
-                logits = pallas_grid_logits(
-                    model, variables, h_t, xyz_t, h_d, xyz_d,
-                    det_block=_pallas_det_block(n_dets))
-            else:
-                logits = model.apply(variables, h_t, xyz_t, h_d, xyz_d,
-                                     train=False, method="match_logits_grid",
-                                     pair_sharding=flat_spec)
+            logits = grid_logits(variables, h_t, xyz_t, h_d, xyz_d,
+                                 grid_backend)
             return logits, h_d, xyz_d
 
         def call(h_t, xyz_t, dets):
@@ -405,8 +441,8 @@ class PairScorer:
         """
         assert not self.image_mode, "device cache is a point-branch path"
         model = self.model
-        use_pallas = self._use_pallas and d_pad % 8 == 0
-        flat_spec = self._flat_spec
+        grid_backend = self._grid_backend(d_pad)
+        grid_logits = self._grid_logits
 
         @jax.jit
         def frame(variables, h_buf, xyz_buf, prev_h, prev_xyz,
@@ -421,15 +457,8 @@ class PairScorer:
             det_crops, _ = extract_box_crops(jax.random.PRNGKey(seed), pts,
                                              boxes, crop_points)
             xyz_d, h_d = _embed_tokens(model, variables, det_crops, False)
-            if use_pallas:
-                from ..ops.pallas.match_grid import pallas_grid_logits
-                logits = pallas_grid_logits(
-                    model, variables, h_t, xyz_t, h_d, xyz_d,
-                    det_block=_pallas_det_block(d_pad))
-            else:
-                logits = model.apply(variables, h_t, xyz_t, h_d, xyz_d,
-                                     train=False, method="match_logits_grid",
-                                     pair_sharding=flat_spec)
+            logits = grid_logits(variables, h_t, xyz_t, h_d, xyz_d,
+                                 grid_backend)
             return h_buf, xyz_buf, logits, h_d, xyz_d
 
         def call(h_buf, xyz_buf, prev_h, prev_xyz, upd_src, upd_dst,

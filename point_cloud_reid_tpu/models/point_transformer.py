@@ -93,8 +93,12 @@ class SetAbstractionEdgeSA(nn.Module):
             blk0.conv(jnp.zeros((1, 3 + 2 * D), points.dtype))
         if self.sampling == "FPS":
             fps_idx = farthest_point_sample(xyz, numpoints)
-        else:
+        elif self.sampling == "RANDOM":
             fps_idx = random_point_sample(xyz, numpoints)
+        else:
+            # mirror sample_and_group_edge's validation (ops/geometry.py) so a
+            # config typo fails the same way with or without edge_split
+            raise ValueError(f"unknown sampling {self.sampling}")
         new_xyz = index_points(xyz, fps_idx)
         if self.use_knn:
             idx = knn_indices(self.nsample, xyz, new_xyz,

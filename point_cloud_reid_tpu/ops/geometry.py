@@ -58,7 +58,11 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray,
     integer dtypes, CPU, or when the (B, K, N) selector would exceed 256 MB.
     """
     B, N, C = points.shape
-    flat = idx.reshape(B, -1).astype(jnp.int32)                      # (B, K)
+    # Clamp out-of-range indices (e.g. query_ball_point's empty-ball sentinel
+    # idx == N) so the one-hot and take_along_axis paths agree: both read the
+    # last point, matching take_along_axis's clamping on every backend. The
+    # one-hot path would otherwise silently return zeros for idx >= N.
+    flat = jnp.clip(idx.reshape(B, -1).astype(jnp.int32), 0, N - 1)  # (B, K)
     K = flat.shape[1]
     use_onehot = method == "onehot" or (
         method == "auto" and jax.default_backend() == "tpu"

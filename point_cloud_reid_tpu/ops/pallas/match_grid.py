@@ -291,9 +291,9 @@ def pallas_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
     return logits.reshape(nt, nd)
 
 
-def sharded_pallas_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
-                               mesh, det_block: int = 8,
-                               interpret: bool = False) -> jnp.ndarray:
+def sharded_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
+                        mesh, det_block: int = 8,
+                        interpret: bool = False) -> jnp.ndarray:
     """Multi-chip pallas grid: detections sharded over every mesh axis, each
     device runs the fused kernel on its det shard (tracks replicated — the
     small side), results concatenated along the det axis. Zero collectives in
@@ -303,12 +303,22 @@ def sharded_pallas_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
     Requires nd % (mesh.size * 8) == 0 (each shard needs whole det blocks).
     `interpret=True` lets the 8-device virtual CPU mesh validate the exact
     same program (tests/test_pair_grid.py).
+
+    Traceable under jit (shard_map carries the mesh): this is what
+    PairScorer routes through when a mesh is set, so the production scale-out
+    path runs the fused kernel, not the slower XLA grid. GSPMD reshards the
+    operands if the caller didn't place them; the eager wrapper below
+    device_puts explicitly.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map                   # jax >= 0.4.35
+        no_check_kw = {"check_vma": False}
     except ImportError:                             # pragma: no cover
+        # the experimental module predates the check_vma rename and only
+        # accepts check_rep — pass the matching kwarg per import path
         from jax.experimental.shard_map import shard_map
+        no_check_kw = {"check_rep": False}
 
     n_dev = mesh.size
     nd = h_d.shape[0]
@@ -322,10 +332,21 @@ def sharded_pallas_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(), P(), P(axes), P(axes)),
-                   out_specs=P(None, axes), check_vma=False)
+                   out_specs=P(None, axes), **no_check_kw)
+    return fn(h_t, xyz_t, h_d, xyz_d)
+
+
+def sharded_pallas_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
+                               mesh, det_block: int = 8,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Eager entry: place the det tensors on the mesh, then run the
+    shard_map'd grid (see sharded_grid_logits)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axes = tuple(mesh.axis_names)
     h_d = jax.device_put(h_d, NamedSharding(mesh, P(axes)))
     xyz_d = jax.device_put(xyz_d, NamedSharding(mesh, P(axes)))
-    return fn(h_t, xyz_t, h_d, xyz_d)
+    return sharded_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
+                               mesh, det_block=det_block, interpret=interpret)
 
 
 def stage_weights(params: Dict[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:

@@ -47,3 +47,38 @@ def test_model_families_init(name):
     out = model.apply(model.init(jax.random.PRNGKey(0), batch, train=False),
                       batch, train=False)
     assert out["match_logits"].shape == (B,)
+
+
+def test_apply_overrides_round_trip():
+    """--set overrides land in the built model/dataset (reference
+    --cfg-options, tools/test.py:80-93)."""
+    name = "pts_point-transformer_point-cat_nus_det_4x256_500e"
+    cfg = E.get_experiment(name, set_options=[
+        "losses_to_use.match=true",
+        "model.backbone.mul=2",
+        "schedule.lr=1e-4",
+        "dataset.train.subsample_sparse=64",
+        "model.combine=cat",
+    ])
+    assert cfg["model"]["backbone"]["mul"] == 2
+    assert cfg["schedule"].lr == 1e-4
+    assert cfg["dataset"]["train"]["subsample_sparse"] == 64
+    model = build_model(cfg["model"])
+    assert model.combine == "cat"
+    assert model.backbone["mul"] == 2
+
+    # unknown keys fail loudly instead of creating dead config
+    with pytest.raises(KeyError):
+        E.get_experiment(name, set_options=["model.not_a_key=1"])
+    with pytest.raises(ValueError):
+        E.get_experiment(name, set_options=["model.combine"])
+
+
+def test_apply_overrides_value_parsing():
+    cfg = E.get_experiment("pts_point-transformer_point-cat_nus_det_4x256_500e")
+    E.apply_overrides(cfg, ["model.backbone_list=64,32,16",
+                            "model.local_stage1=none",
+                            "runtime.validate=True"])
+    assert cfg["model"]["backbone_list"] == [64, 32, 16]
+    assert cfg["model"]["local_stage1"] is None
+    assert cfg["runtime"]["validate"] is True

@@ -23,7 +23,7 @@ def main(argv=None):
     args = parse_args(argv)
     args.eval_only = True
     from point_cloud_reid_tpu.configs import get_experiment
-    cfg = get_experiment(args.experiment)
+    cfg = get_experiment(args.experiment, set_options=args.set_options)
     trainer, state = build_all(cfg, args)
     metrics = trainer.evaluate(state)
     out_path = os.path.join(args.work_dir or ".", "eval_results_full.json")

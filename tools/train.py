@@ -49,6 +49,12 @@ def parse_args(argv=None):
                         "(jax.checkpoint) — fits ~4x larger per-chip batches")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (TPU mixed precision)")
+    p.add_argument("--set", dest="set_options", action="append", default=[],
+                   metavar="KEY.PATH=VALUE",
+                   help="dotted-path config override (repeatable) — the "
+                        "reference's --cfg-options: e.g. "
+                        "--set losses_to_use.kl=true --set schedule.lr=1e-4 "
+                        "--set model.backbone.mul=2")
     return p.parse_args(argv)
 
 
@@ -131,7 +137,7 @@ def build_all(cfg, args):
 def main(argv=None):
     args = parse_args(argv)
     from point_cloud_reid_tpu.configs import get_experiment
-    cfg = get_experiment(args.experiment)
+    cfg = get_experiment(args.experiment, set_options=args.set_options)
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     trainer, state = build_all(cfg, args)
