@@ -70,3 +70,57 @@ def barrier(name: str = "barrier") -> None:
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices(name)
+
+
+def dp_step_check(batch_per_device: int = 2) -> float:
+    """One deterministic DP train step over ALL global devices -> loss.
+
+    The same program runs single- or multi-process (the reference's
+    correctness criterion for `torchpack dist-run -np N`: N processes
+    compute what one does, tools/train.py:26). Each process contributes its
+    process-local batch rows via shard_batch; params are initialized from a
+    fixed PRNGKey so every host holds identical replicated state.
+    tests/test_multihost.py runs this on a 2-process CPU cluster and compares
+    against the single-process value.
+    """
+    import jax
+    from ..configs import get_experiment
+    from ..models import build_model
+    from ..train import TrainState, build_optimizer, make_train_step
+    from ..train.schedules import ScheduleConfig
+    from .mesh import make_mesh, shard_batch
+
+    cfg = get_experiment("pts_point-transformer_point-cat_nus_det_4x256_500e")
+    mcfg = dict(cfg["model"])
+    mcfg["backbone"] = dict(mcfg["backbone"], mul=1)
+    mcfg["backbone_list"] = [16, 8, 4]
+    model = build_model(mcfg)
+
+    n_dev = jax.device_count()
+    B, N = batch_per_device * n_dev, 16
+    rs = np.random.RandomState(0)
+    full = dict(
+        sparse_1=rs.randn(B, N, 3).astype(np.float32),
+        sparse_2=rs.randn(B, N, 3).astype(np.float32),
+        label_1=np.zeros((B,), np.int32),
+        label_2=np.ones((B,), np.int32),
+        id_1=np.arange(B, dtype=np.int32),
+        id_2=np.arange(B, dtype=np.int32) % 3,
+    )
+    p, pc = jax.process_index(), jax.process_count()
+    rows = B // pc
+    local = {k: v[p * rows:(p + 1) * rows] for k, v in full.items()}
+
+    tx = build_optimizer(ScheduleConfig(max_epochs=1), steps_per_epoch=10)
+    state = TrainState.create(model, tx, local,
+                              rng=jax.random.PRNGKey(2))
+    # host-local numpy params enter the global jit as replicated values —
+    # identical on every process by construction (fixed init key)
+    state = jax.tree_util.tree_map(np.asarray, state)
+    train_step = make_train_step(model, tx, losses_to_use=dict(match=True),
+                                 alpha={}, donate=False)
+    mesh = make_mesh()
+    with mesh:
+        batch = shard_batch(mesh, local)
+        _, log = train_step(state, batch, jax.random.PRNGKey(3))
+    return float(log["reid_loss"])

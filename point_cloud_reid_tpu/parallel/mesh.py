@@ -54,10 +54,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = "data"):
     """Device-put a host batch with axis-0 sharding over the mesh.
 
-    Replaces per-rank DistributedSampler + scatter: each host feeds its full
-    per-host batch; XLA slices rows onto chips.
-    """
+    Replaces per-rank DistributedSampler + scatter. Single-process: each host
+    feeds its full batch and XLA slices rows onto chips. Multi-process (mesh
+    spans hosts): each process feeds its PROCESS-LOCAL rows — the per-rank
+    shard, exactly the DistributedSampler contract — and the global array is
+    assembled across hosts (tests/test_multihost.py exercises this on a
+    2-process CPU cluster)."""
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
