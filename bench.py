@@ -22,6 +22,12 @@ The headline fields are unchanged from round 1; "secondary" adds:
                             batched reads), batch 2048
   input_vs_train_step       input throughput / train-step throughput (>1 =
                             the loader keeps the chip fed)
+  tracker_e2e_ms            full TrackingManager.step median (96 objects,
+                            57.6k-pt sweeps, DeviceTrackCache; includes the
+                            per-frame tunnel RTTs in this environment)
+  image_frame_ms / image_pairs_per_sec_per_chip
+                            DeiT-tiny image-branch frame, 64x64 grid incl.
+                            embedding the 64 224x224 crops
 Secondary metrics are best-effort: any that fail record null rather than
 killing the headline.
 """
@@ -190,6 +196,69 @@ def _bench_train_step(model):
     return dt * 1e3, B / dt, mfu
 
 
+def _bench_image_frame():
+    """Image-branch frame (PARITY claim: DeiT-tiny, 64 tracks x 64 dets
+    including embedding the 64 224x224 crops through the ViT, hoisted
+    CrossLinAttn grid). Weights are random — identical FLOPs/throughput to
+    converted weights."""
+    from point_cloud_reid_tpu.configs import get_experiment
+    from point_cloud_reid_tpu.inference import PairScorer
+    from point_cloud_reid_tpu.models import build_model
+
+    cfg = get_experiment("rgb_deit-tiny_point-cat_r_nus_det_4x60_200e")
+    model = build_model(cfg["model"], dtype=jnp.bfloat16)
+    NT = ND = 64
+    crops = jax.random.normal(jax.random.PRNGKey(0), (ND, 3, 224, 224))
+    batch = dict(img_1=crops[:2], img_2=crops[:2],
+                 id_1=jnp.zeros((2,), jnp.int32),
+                 id_2=jnp.zeros((2,), jnp.int32))
+    variables = model.init(jax.random.PRNGKey(1), batch, train=False)
+    scorer = PairScorer(model, variables, image_mode=True)
+    _, h_t = scorer.embed(crops)                  # (NT, S, C) downsampled
+    frame_fn = scorer.make_frame_fn(NT, ND)
+    frame_x, _ = _compile(frame_fn.jitted, variables, h_t, None, crops)
+    _sync(frame_x(variables, h_t, None, crops)[0])
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        mat, _, _ = frame_x(variables, h_t, None, crops)
+    _sync(mat)
+    dt = (time.perf_counter() - t0) / n_iters
+    return dt * 1e3, NT * ND / dt
+
+
+def _bench_tracker_e2e(model, variables):
+    """End-to-end TrackingManager.step with the DeviceTrackCache (PARITY
+    claim: 96 objects, 57.6k-point sweeps, crops + embed + grid + greedy
+    association + lifecycle — ~229 ms/frame through the tunnel, ~45-50 ms
+    device-bound locally). Median over steady-state frames; the per-frame
+    logits fetch makes each step naturally synchronous."""
+    from point_cloud_reid_tpu.inference import PairScorer
+    from point_cloud_reid_tpu.tracking import TrackingManager
+
+    rs = np.random.RandomState(0)
+    n_obj, sweep_pts = 96, 57_600
+    scorer = PairScorer(model, variables)
+    mgr = TrackingManager(scorer, subsample_number=128)
+    centers = (rs.rand(n_obj, 3) * 40 - 20).astype(np.float32)
+    centers[:, 2] = 0.0
+    per_obj = sweep_pts // n_obj
+    times = []
+    for _ in range(10):
+        centers += rs.randn(n_obj, 3).astype(np.float32) * 0.2
+        boxes = np.concatenate(
+            [centers, np.full((n_obj, 3), 2.0, np.float32),
+             np.zeros((n_obj, 1), np.float32)], axis=1)
+        pts = (np.repeat(centers, per_obj, axis=0)
+               + rs.randn(n_obj * per_obj, 3).astype(np.float32) * 0.5)
+        t0 = time.perf_counter()
+        mgr.step(pts, boxes, np.ones(n_obj, np.float32),
+                 np.zeros(n_obj, np.int64))
+        times.append(time.perf_counter() - t0)
+    # first frames pay compilation; report the steady-state median
+    return float(np.median(times[3:]) * 1e3)
+
+
 def _bench_input_pipeline():
     """BatchLoader over a materialized on-disk store, batch 2048 — the
     native C++ batched-read path that feeds real training."""
@@ -253,6 +322,17 @@ def main():
                          train_mfu=round(mfu, 4) if mfu else None)
     except Exception as e:     # never kill the headline
         secondary.update(train_step_ms=None, train_error=str(e)[:120])
+    try:
+        e2e_ms = _bench_tracker_e2e(model, variables)
+        secondary["tracker_e2e_ms"] = round(e2e_ms, 1)
+    except Exception as e:
+        secondary.update(tracker_e2e_ms=None, e2e_error=str(e)[:120])
+    try:
+        img_ms, img_pps = _bench_image_frame()
+        secondary.update(image_frame_ms=round(img_ms, 2),
+                         image_pairs_per_sec_per_chip=round(img_pps, 1))
+    except Exception as e:
+        secondary.update(image_frame_ms=None, image_error=str(e)[:120])
     try:
         input_sps = _bench_input_pipeline()
         secondary["input_pipeline_samples_per_sec"] = round(input_sps, 1)

@@ -65,22 +65,24 @@ def _kernel(ht_ref, qt_ref, kvt_ref, kst_ref, post_ref,
     f32 = jnp.float32
     _dot = _make_dot(ht_ref.dtype)
 
-    # head-selector (C, H): column h is 1 on head h's D channels
-    ch = jax.lax.broadcasted_iota(jnp.int32, (C, H), 0) // D
-    hh = jax.lax.broadcasted_iota(jnp.int32, (C, H), 1)
-    ones_head = (ch == hh).astype(f32)
     # block-diagonal head mask (C, C)
     r = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0) // D
     c = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1) // D
     head_mask = (r == c).astype(f32)
 
     def zexp(q, ksum_row):
-        """Per-head normalizer broadcast to channels: q (N,C), ksum (1,C)."""
-        z = _dot((q * ksum_row).astype(f32), ones_head)          # (N, H)
-        z = 1.0 / (z + EPS)
-        return jnp.concatenate(
-            [jnp.broadcast_to(z[:, h:h + 1], (q.shape[0], D)) for h in range(H)],
-            axis=1)                                              # (N, C)
+        """Per-head normalizer broadcast to channels: q (N,C), ksum (1,C).
+
+        Pure-VPU: per-head lane-slice sums instead of a (C, H) head-selector
+        matmul — the selector dot had H(=2) output lanes, a worst-case MXU
+        shape, and this function runs ~64x per grid cell."""
+        qk = (q * ksum_row).astype(f32)                          # (R, C)
+        parts = []
+        for h in range(H):
+            z = jnp.sum(qk[:, h * D:(h + 1) * D], axis=1, keepdims=True)
+            z = 1.0 / (z + EPS)                                  # (R, 1)
+            parts.append(jnp.broadcast_to(z, (q.shape[0], D)))
+        return jnp.concatenate(parts, axis=1)                    # (R, C)
 
     def layer_norm(x, scale_row, bias_row):
         mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -90,10 +92,14 @@ def _kernel(ht_ref, qt_ref, kvt_ref, kst_ref, post_ref,
 
     def ffn(search, msg, merge_w, l1s, l1b, fc1, fc2, l2s, l2b):
         """merge -> LN -> FFN([search || msg]) -> LN -> residual
-        (CrossAttentionBlock._ffn)."""
+        (CrossAttentionBlock._ffn).
+
+        fc1 is applied as two row-split matmuls (search @ fc1[:C] +
+        msg @ fc1[C:]) instead of concatenating [search || msg] along lanes
+        first — same MXU cycles (2x K=C vs 1x K=2C), no lane-offset concat
+        copy, and Mosaic handles sublane weight slices natively."""
         m = layer_norm(_dot(msg, merge_w[:]), l1s, l1b)
-        h = jnp.concatenate([search, m], axis=1)                 # (R, 2C)
-        h = jnp.maximum(_dot(h, fc1[:]), 0.0)
+        h = jnp.maximum(_dot(search, fc1[:C]) + _dot(m, fc1[C:]), 0.0)
         h = layer_norm(_dot(h, fc2[:]), l2s, l2b)
         return search + h
 

@@ -61,3 +61,39 @@ def test_acc_plots_multi_run_and_heatmaps(tmp_path):
     assert any(n.startswith("points_class_") for n in names)
     for p in written:
         assert os.path.getsize(p) > 1000
+
+
+def test_tracking_plots_tool(tmp_path):
+    """tools/tracking_plots.py draws the reference's mistake-analysis figure
+    families (pies, track-length frequency, decision bars;
+    core/hooks/utils.py:306-474) from a TrackingEvalAccumulator summary."""
+    from point_cloud_reid_tpu.evaluation.tracking_summary import (
+        TrackingEvalAccumulator)
+
+    acc = TrackingEvalAccumulator()
+    acc.observe_frame([(1, 10, 0), (2, 11, 0), (3, -1, 1)], [(4, 12, 1)],
+                      [], [])
+    acc.observe_frame([(1, 10, 0), (2, 13, 0)], [], [3, 4], [])
+
+    class _T:
+        def __init__(self, tid, hits):
+            self.track_id, self.hits = tid, hits
+
+    acc.end_scene([_T(1, 2), _T(2, 2), _T(3, 1), _T(4, 1)])
+    path = tmp_path / "summary.json"
+    with open(path, "w") as f:
+        json.dump(acc.summary(), f)
+
+    out = tmp_path / "plots"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "tools", "tracking_plots.py"),
+         str(path), "--out", str(out)],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    written = {os.path.basename(p)
+               for p in json.loads(proc.stdout)["plots"]}
+    assert "mistake_share.png" in written
+    assert "track_length_frequency.png" in written
+    assert "decision_metrics.png" in written
+    assert any(n.startswith("mistake_share_") for n in written)
