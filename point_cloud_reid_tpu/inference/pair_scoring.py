@@ -220,6 +220,20 @@ class PairScorer:
         assert backend in ("auto", "pallas", "xla"), backend
         self._backend = backend
         self._interpret = pallas_interpret
+        # fused SA-stage backbone (ops/pallas/sa_stage): swap the embed path
+        # onto the VMEM-resident gather+MLP+max kernel for single-chip
+        # point-branch inference (same params, eval-only compute path).
+        # Mesh embeds stay XLA — the SA pallas_call is not shard_map'd.
+        if (not image_mode and mesh is None and backend in ("auto", "pallas")
+                and (jax.default_backend() == "tpu" or pallas_interpret)
+                and isinstance(getattr(model, "backbone", None), dict)
+                and model.backbone.get("type") in ("Pointnet_Backbone",
+                                                   "point_transformer")
+                and not model.backbone.get("pallas_inference")):
+            model = model.clone(backbone=dict(
+                model.backbone, pallas_inference=True,
+                pallas_interpret=pallas_interpret))
+            self.model = model
         self._use_pallas = (backend in ("auto", "pallas")
                             and _pallas_grid_ok(model, image_mode,
                                                 pallas_interpret))

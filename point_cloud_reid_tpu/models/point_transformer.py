@@ -51,6 +51,11 @@ class SetAbstractionEdgeSA(nn.Module):
     group_all: bool = False
     knn_method: str = "argsort"
     edge_split: bool = True
+    # eval-mode fused pallas path (ops/pallas/sa_stage): gather + conv MLP +
+    # max-over-k in one VMEM-resident kernel per crop. Inference only — train
+    # always runs the XLA path (autodiff + batch-stat updates).
+    pallas_inference: bool = False
+    pallas_interpret: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -59,6 +64,32 @@ class SetAbstractionEdgeSA(nn.Module):
         """xyz: (B, N, 3); points: (B, N, D) or None -> (B, S, 3), (B, S, C_out)."""
         blocks = [ConvBNReLU(f, dtype=self.dtype, name=f"mlp_{i}")
                   for i, f in enumerate(self.mlp[1:])]
+
+        use_fused = (self.pallas_inference and not train
+                     and not self.is_initializing()
+                     and not self.group_all and self.use_knn
+                     and self.sampling == "RANDOM" and len(blocks) == 3)
+        if use_fused:
+            from ..ops.pallas.sa_stage import sa_stage_inference
+            cidx = jnp.clip(jnp.arange(numpoints), 0, xyz.shape[1] - 1)
+            new_xyz = xyz[:, cidx]
+            idx = knn_indices(self.nsample, xyz, new_xyz,
+                              method=self.knn_method)
+            params = {}
+            stats = {}
+            for i, blk in enumerate(blocks):
+                p = blk.conv.variables["params"]
+                params[f"mlp_{i}"] = {
+                    "conv": dict(kernel=p["kernel"], bias=p.get("bias")),
+                    "bn": blk.bn.variables["params"],
+                }
+                stats[f"mlp_{i}"] = {"bn": blk.bn.variables["batch_stats"]}
+            h = sa_stage_inference(xyz, points, idx, params, stats,
+                                   dtype=self.dtype,
+                                   interpret=self.pallas_interpret)
+            h = SelfAttentionBlock(self.mlp[-1], nhead=2, dtype=self.dtype,
+                                   name="self_attention")(h, new_xyz)
+            return new_xyz, h
 
         use_split = (self.edge_split and not self.group_all
                      and points is not None)
@@ -153,6 +184,8 @@ class PointTransformerBackbone(nn.Module):
     radius: Sequence[float] = (0.3, 0.5, 0.7)
     nsample: Sequence[int] = (32, 48, 48)
     knn_method: str = "argsort"
+    pallas_inference: bool = False
+    pallas_interpret: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -176,7 +209,10 @@ class PointTransformerBackbone(nn.Module):
             li_xyz, li_feats = SetAbstractionEdgeSA(
                 mlp=spec["mlp"], nsample=spec["nsample"], radius=spec["radius"],
                 sampling="RANDOM", use_xyz=self.use_xyz, use_knn=True,
-                knn_method=self.knn_method, dtype=self.dtype, name=f"sa_{i}",
+                knn_method=self.knn_method,
+                pallas_inference=self.pallas_inference,
+                pallas_interpret=self.pallas_interpret,
+                dtype=self.dtype, name=f"sa_{i}",
             )(l_xyz[i], l_feats[i], numpoints[i], train=train)
             l_xyz.append(li_xyz)
             l_feats.append(li_feats)

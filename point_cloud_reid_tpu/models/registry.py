@@ -95,6 +95,8 @@ def build_backbone(cfg: Spec, dtype=jnp.float32, knn_method: str = "argsort"):
             radius=tuple(cfg.get("radius", (0.3, 0.5, 0.7))),
             nsample=tuple(cfg.get("nsample", (32, 48, 48))),
             knn_method=knn_method,
+            pallas_inference=cfg.get("pallas_inference", False),
+            pallas_interpret=cfg.get("pallas_interpret", False),
             dtype=dtype, name="backbone")
     if t in ("PointNet", "pointnet"):
         return PointNetBackbone(channel=6 if cfg.get("normal_channel", True) else 3,

@@ -40,13 +40,22 @@ EPS = 1e-6
 
 
 def _elu1(x: jnp.ndarray) -> jnp.ndarray:
-    """elu(x) + 1 without the elu primitive (Mosaic has no expm1/elu)."""
-    return jnp.where(x < 0, jnp.exp(jnp.minimum(x, 0.0)), x + 1.0)
+    """elu(x) + 1 without the elu primitive (Mosaic has no expm1/elu).
+
+    Branch-free identity: for x < 0 this is exp(x) + 0, for x >= 0 it is
+    1 + x — no select, and no comparison (v5e Mosaic rejects bf16
+    compares)."""
+    zero = jnp.zeros((), x.dtype)
+    return jnp.exp(jnp.minimum(x, zero)) + jnp.maximum(x, zero)
 
 
 def _make_dot(dt):
     """MXU matmul: operands in the model dtype (bf16 on TPU — native MXU
-    precision; f32 matmuls cost multiple passes), f32 accumulation."""
+    precision; f32 matmuls cost multiple passes), f32 accumulation and f32
+    results. Measured both ways on v5e: keeping the big (bd*N, C) tensors
+    resident in bf16 between ops was ~10% SLOWER than f32 residency (27.9
+    vs 25.3 ms at 128x128) — this VPU runs elementwise f32 at full rate and
+    bf16 costs conversions, so only the MXU operands drop to bf16."""
     def dot(a, b):
         return jnp.dot(a.astype(dt), b.astype(dt),
                        preferred_element_type=jnp.float32)
@@ -58,7 +67,8 @@ def _kernel(ht_ref, qt_ref, kvt_ref, kst_ref, post_ref,
             m1_ref, ln1s_ref, ln1b_ref, f11_ref, f12_ref, ln2s_ref, ln2b_ref,
             wq2_ref, wk2_ref, wv2_ref,
             m2_ref, ln21s_ref, ln21b_ref, f21_ref, f22_ref, ln22s_ref,
-            ln22b_ref, out_ref, *, nhead: int, det_block: int):
+            ln22b_ref, out_ref, *, nhead: int, det_block: int,
+            debug_skip: frozenset = frozenset()):
     N, C = ht_ref.shape[1], ht_ref.shape[2]
     H, bd = nhead, det_block
     D = C // H
@@ -70,21 +80,9 @@ def _kernel(ht_ref, qt_ref, kvt_ref, kst_ref, post_ref,
     c = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1) // D
     head_mask = (r == c).astype(f32)
 
-    def zexp(q, ksum_row):
-        """Per-head normalizer broadcast to channels: q (N,C), ksum (1,C).
-
-        Pure-VPU: per-head lane-slice sums instead of a (C, H) head-selector
-        matmul — the selector dot had H(=2) output lanes, a worst-case MXU
-        shape, and this function runs ~64x per grid cell."""
-        qk = (q * ksum_row).astype(f32)                          # (R, C)
-        parts = []
-        for h in range(H):
-            z = jnp.sum(qk[:, h * D:(h + 1) * D], axis=1, keepdims=True)
-            z = 1.0 / (z + EPS)                                  # (R, 1)
-            parts.append(jnp.broadcast_to(z, (q.shape[0], D)))
-        return jnp.concatenate(parts, axis=1)                    # (R, C)
-
     def layer_norm(x, scale_row, bias_row):
+        if "ln" in debug_skip:          # cost-bisection variant (profiling)
+            return x * scale_row + bias_row
         mu = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean((x - mu) * (x - mu), axis=-1, keepdims=True)
         xn = (x - mu) * jax.lax.rsqrt(var + 1e-5)
@@ -99,68 +97,89 @@ def _kernel(ht_ref, qt_ref, kvt_ref, kst_ref, post_ref,
         first — same MXU cycles (2x K=C vs 1x K=2C), no lane-offset concat
         copy, and Mosaic handles sublane weight slices natively."""
         m = layer_norm(_dot(msg, merge_w[:]), l1s, l1b)
+        if "ffn" in debug_skip:         # cost-bisection variant (profiling)
+            return search + m
         h = jnp.maximum(_dot(search, fc1[:C]) + _dot(m, fc1[C:]), 0.0)
         h = layer_norm(_dot(h, fc2[:]), l2s, l2b)
         return search + h
 
+    dt = ht_ref.dtype
     ht = ht_ref[0].astype(f32)                                   # (N, C)
     qt = qt_ref[0].astype(f32)
     kvt = kvt_ref[0].astype(f32)                                 # (C, C)
     kst = kst_ref[0].astype(f32)                                 # (1, C)
     post = post_ref[0].astype(f32)                               # (N, C)
 
+    def bdot(a3, b3):
+        """Batched (bd, M, K) @ (bd, K, L) -> (bd, M, L) on the MXU — one
+        batched dot_general instead of bd small launches (each small dot
+        carries fixed issue overhead; the per-d loops dominated the r2
+        kernel's cost bisection)."""
+        return jax.lax.dot_general(a3.astype(dt), b3.astype(dt),
+                                   (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=f32)
+
+    def zexp_rows(qk):
+        """Batched normalizer from elementwise q*ksum rows (R, C)."""
+        parts = []
+        for h in range(H):
+            z = jnp.sum(qk[:, h * D:(h + 1) * D], axis=1, keepdims=True)
+            z = 1.0 / (z + EPS)                                  # (R, 1)
+            parts.append(jnp.broadcast_to(z, (qk.shape[0], D)))
+        return jnp.concatenate(parts, axis=1)                    # (R, C)
+
     # ---- stage 1, direction track->det -------------------------------------
-    # per-det (N,C)@(C,C) message matmuls (Mosaic rejects concatenating
-    # lane-offset slices of one wide GEMM, so loop the small ones)
-    m1_rows = []
-    for d in range(bd):
-        m = _dot(qt, kvd_ref[d].astype(f32))                     # (N, C)
-        ze = zexp(qt, ksd_ref[d].astype(f32))
-        m1_rows.append(m * ze * N)
-    M1 = jnp.concatenate(m1_rows, axis=0)                        # (bd*N, C)
+    # ONE batched matmul: broadcast qt across the det block, contract with
+    # each det's KV summary
+    QT = jnp.broadcast_to(qt[None], (bd, N, C))                  # (bd, N, C)
+    M1 = bdot(QT, kvd_ref[...]).reshape(bd * N, C)
+    KSD = jnp.broadcast_to(ksd_ref[...].astype(f32),
+                           (bd, N, C)).reshape(bd * N, C)
+    QTr = QT.reshape(bd * N, C)
+    M1 = M1 * zexp_rows(QTr * KSD) * N
     HT = jnp.concatenate([ht] * bd, axis=0)                      # (bd*N, C)
     o1a = ffn(HT, M1, m1_ref, ln1s_ref[:], ln1b_ref[:], f11_ref,
               f12_ref, ln2s_ref[:], ln2b_ref[:])
 
     # ---- stage 1, direction det->track ------------------------------------
-    QD = jnp.concatenate([qd_ref[d].astype(f32) for d in range(bd)], axis=0)
-    HD = jnp.concatenate([hd_ref[d].astype(f32) for d in range(bd)], axis=0)
+    QD = qd_ref[...].astype(f32).reshape(bd * N, C)
+    HD = hd_ref[...].astype(f32).reshape(bd * N, C)
     msg2 = _dot(QD, kvt)                                         # (bd*N, C)
-    z_rows = [zexp(qd_ref[d].astype(f32), kst) for d in range(bd)]
-    M2 = msg2 * jnp.concatenate(z_rows, axis=0) * N
+    M2 = msg2 * zexp_rows(QD * kst) * N
     o2a = ffn(HD, M2, m1_ref, ln1s_ref[:], ln1b_ref[:], f11_ref,
               f12_ref, ln2s_ref[:], ln2b_ref[:])
 
     # ---- stage 2 (full cross attention, pair-dependent both sides) --------
-    POSD = jnp.concatenate([posd_ref[d].astype(f32) for d in range(bd)],
-                           axis=0)                               # (bd*N, C)
+    POSD = posd_ref[...].astype(f32).reshape(bd * N, C)
     POST = jnp.concatenate([post] * bd, axis=0)
 
     def stage2_direction(search, template, template_pos):
-        """search/template (bd*N, C): per-det-block full linear attention."""
+        """search/template (bd*N, C): per-det-block full linear attention,
+        with the per-det KV builds and message matmuls batched over bd."""
         q = _elu1(_dot(search, wq2_ref[:].astype(f32)))
         k = _elu1(_dot(template, wk2_ref[:].astype(f32)))
         v = _dot(template + template_pos, wv2_ref[:].astype(f32)) / N
-        msg_rows = []
-        for d in range(bd):
-            kd = k[d * N:(d + 1) * N]
-            vd = v[d * N:(d + 1) * N]
-            qd = q[d * N:(d + 1) * N]
-            kv = jax.lax.dot_general(kd.astype(ht_ref.dtype),
-                                     vd.astype(ht_ref.dtype),
-                                     (((0,), (0,)), ((), ())),
-                                     preferred_element_type=f32)
-            kv = kv * head_mask                                  # (C, C)
-            ks = jnp.sum(kd, axis=0, keepdims=True)              # (1, C)
-            msg_rows.append(_dot(qd, kv) * zexp(qd, ks) * N)
-        return jnp.concatenate(msg_rows, axis=0)
+        k3 = k.reshape(bd, N, C)
+        v3 = v.reshape(bd, N, C)
+        # (bd, C, C) = k_d^T v_d for every det at once
+        kv = jax.lax.dot_general(k3.astype(dt), v3.astype(dt),
+                                 (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=f32)
+        kv = kv * head_mask[None]
+        msg = bdot(q.reshape(bd, N, C), kv).reshape(bd * N, C)
+        ks = jnp.broadcast_to(jnp.sum(k3, axis=1, keepdims=True),
+                              (bd, N, C)).reshape(bd * N, C)
+        return msg * zexp_rows(q * ks) * N
 
-    s2_msg1 = stage2_direction(o1a, o2a, POSD)
-    s2_msg2 = stage2_direction(o2a, o1a, POST)
-    o1b = ffn(o1a, s2_msg1, m2_ref, ln21s_ref[:], ln21b_ref[:], f21_ref,
-              f22_ref, ln22s_ref[:], ln22b_ref[:])
-    o2b = ffn(o2a, s2_msg2, m2_ref, ln21s_ref[:], ln21b_ref[:], f21_ref,
-              f22_ref, ln22s_ref[:], ln22b_ref[:])
+    if "stage2" in debug_skip:          # cost-bisection variant (profiling)
+        o1b, o2b = o1a, o2a
+    else:
+        s2_msg1 = stage2_direction(o1a, o2a, POSD)
+        s2_msg2 = stage2_direction(o2a, o1a, POST)
+        o1b = ffn(o1a, s2_msg1, m2_ref, ln21s_ref[:], ln21b_ref[:], f21_ref,
+                  f22_ref, ln22s_ref[:], ln22b_ref[:])
+        o2b = ffn(o2a, s2_msg2, m2_ref, ln21s_ref[:], ln21b_ref[:], f21_ref,
+                  f22_ref, ln22s_ref[:], ln22b_ref[:])
 
     # ---- point-cat pool: max/avg over the 2N combined points --------------
     rows = []
@@ -181,7 +200,8 @@ def fused_match_grid(h_t: jnp.ndarray, qt: jnp.ndarray, kvt: jnp.ndarray,
                      ksd: jnp.ndarray, posd2: jnp.ndarray,
                      stage1: Dict[str, Any], stage2: Dict[str, Any],
                      nhead: int, det_block: int = 8,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     debug_skip: frozenset = frozenset()) -> jnp.ndarray:
     """All-pairs pooled match features.
 
     Args:
@@ -233,7 +253,8 @@ def fused_match_grid(h_t: jnp.ndarray, qt: jnp.ndarray, kvt: jnp.ndarray,
     out_spec = pl.BlockSpec((1, bd, 2 * C), lambda j, i: (i, j, 0),
                             memory_space=pltpu.VMEM)
 
-    kern = functools.partial(_kernel, nhead=nhead, det_block=bd)
+    kern = functools.partial(_kernel, nhead=nhead, det_block=bd,
+                             debug_skip=debug_skip)
     return pl.pallas_call(
         kern,
         grid=(nb, nt),
@@ -275,8 +296,8 @@ def grid_factors(params: Dict[str, Any], h: jnp.ndarray, xyz: jnp.ndarray,
 
 
 def pallas_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
-                       det_block: int = 8, interpret: bool = False
-                       ) -> jnp.ndarray:
+                       det_block: int = 8, interpret: bool = False,
+                       debug_skip: frozenset = frozenset()) -> jnp.ndarray:
     """Full pallas-backed grid scorer: factors -> fused kernel -> match head.
 
     Drop-in equivalent of ReIDNet.match_logits_grid for the flagship config
@@ -289,7 +310,8 @@ def pallas_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
     w1, w2 = stage_weights(params)
     pooled = fused_match_grid(h_t, qt, kvt, kst, post,
                               h_d, qd, kvd, ksd, posd,
-                              w1, w2, nhead, det_block, interpret)
+                              w1, w2, nhead, det_block, interpret,
+                              debug_skip=debug_skip)
     nt, nd = h_t.shape[0], h_d.shape[0]
     logits = model.apply(
         variables, pooled.reshape(nt * nd, pooled.shape[-1]),

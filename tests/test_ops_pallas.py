@@ -76,3 +76,63 @@ def test_linear_attention_pallas_grad():
     for a, b in zip(g_p, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_fused_sa_stage_matches_xla():
+    """Fused SA-stage kernel (ops/pallas/sa_stage, interpret mode) == the
+    XLA SetAbstractionEdgeSA eval path, both with and without input
+    features, at bf16 and f32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from point_cloud_reid_tpu.models.point_transformer import (
+        SetAbstractionEdgeSA)
+
+    rng = jax.random.PRNGKey(0)
+    B, N, S, K, C = 3, 32, 16, 8, 16
+    xyz = jax.random.normal(rng, (B, N, 3))
+    feats = jax.random.normal(jax.random.PRNGKey(1), (B, N, C))
+
+    for points, cin in ((None, 3), (feats, C + 3 + C - 3)):
+        for dt, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 3e-2)):
+            in_dim = 3 if points is None else 3 + 2 * C
+            ref_mod = SetAbstractionEdgeSA(mlp=[in_dim - 3, C, C, C],
+                                           nsample=K, dtype=dt)
+            v = ref_mod.init(jax.random.PRNGKey(2), xyz, points, S,
+                             train=False)
+            ref = ref_mod.apply(v, xyz, points, S, train=False)
+            fused_mod = SetAbstractionEdgeSA(mlp=[in_dim - 3, C, C, C],
+                                             nsample=K, dtype=dt,
+                                             pallas_inference=True,
+                                             pallas_interpret=True)
+            out = fused_mod.apply(v, xyz, points, S, train=False)
+            np.testing.assert_allclose(np.asarray(out[0], np.float32),
+                                       np.asarray(ref[0], np.float32))
+            np.testing.assert_allclose(np.asarray(out[1], np.float32),
+                                       np.asarray(ref[1], np.float32),
+                                       rtol=tol, atol=tol)
+
+
+def test_fused_backbone_matches_xla():
+    """Whole PointTransformerBackbone with pallas_inference on (interpret)
+    == the XLA backbone in eval mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from point_cloud_reid_tpu.models.point_transformer import (
+        PointTransformerBackbone)
+
+    B, N = 2, 32
+    pts = jax.random.normal(jax.random.PRNGKey(3), (B, N, 3))
+    ref_mod = PointTransformerBackbone(conv_out=16, mul=1, nsample=(8, 8, 8))
+    v = ref_mod.init(jax.random.PRNGKey(4), pts, [16, 8, 4], train=False)
+    ref_xyz, ref_h = ref_mod.apply(v, pts, [16, 8, 4], train=False)
+    fused_mod = PointTransformerBackbone(conv_out=16, mul=1,
+                                         nsample=(8, 8, 8),
+                                         pallas_inference=True,
+                                         pallas_interpret=True)
+    out_xyz, out_h = fused_mod.apply(v, pts, [16, 8, 4], train=False)
+    np.testing.assert_allclose(np.asarray(out_xyz), np.asarray(ref_xyz))
+    np.testing.assert_allclose(np.asarray(out_h, np.float32),
+                               np.asarray(ref_h, np.float32),
+                               rtol=2e-4, atol=2e-5)

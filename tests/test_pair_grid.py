@@ -273,3 +273,29 @@ def test_pairscorer_mesh_routes_sharded_pallas():
     logits, h_d2, x_d2 = frame(h_t, x_t, dets)
     _np.testing.assert_allclose(_np.asarray(logits), _np.asarray(ref),
                                 rtol=2e-4, atol=2e-5)
+
+
+def test_pairscorer_fused_backbone_interpret_matches_xla():
+    """Single-chip PairScorer with pallas_interpret swaps in the fused
+    SA-stage backbone (ops/pallas/sa_stage) + pallas grid; logits must match
+    the pure-XLA scorer."""
+    import numpy as _np
+    from point_cloud_reid_tpu.inference import PairScorer
+    model, variables = _make()
+    scorer = PairScorer(model, variables, pallas_interpret=True)
+    assert scorer.model.backbone.get("pallas_inference") is True
+    xla = PairScorer(model, variables, backend="xla")
+    assert xla.model.backbone.get("pallas_inference", False) is False
+
+    nt, nd, n = 4, 8, 16
+    tracks = jax.random.normal(jax.random.PRNGKey(12), (nt, n, 3))
+    dets = jax.random.normal(jax.random.PRNGKey(13), (nd, n, 3))
+    x_t, h_t = scorer.embed(tracks)
+    x_tr, h_tr = xla.embed(tracks)
+    _np.testing.assert_allclose(_np.asarray(h_t), _np.asarray(h_tr),
+                                rtol=2e-4, atol=2e-5)
+    x_d, h_d = xla.embed(dets)
+    ref = xla.cost_matrix(x_tr if False else h_tr, x_tr, h_d, x_d, pad=True)
+    out = scorer.cost_matrix(h_t, x_t, h_d, x_d, pad=True)
+    _np.testing.assert_allclose(_np.asarray(out), _np.asarray(ref),
+                                rtol=2e-4, atol=2e-5)

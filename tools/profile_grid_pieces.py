@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Cost bisection of the fused match-grid kernel: which piece eats the ms.
+
+Compiles the kernel with progressively disabled pieces (debug_skip) and
+times each on hardware. Differences attribute per-piece cost:
+
+    full                 the production kernel
+    no_stage2            stage 1 + pooling only   -> stage-2 cost
+    no_ffn               ffn = merge+LN residual  -> fc1/fc2 cost
+    no_ln                LNs as plain affine      -> LN reduction cost
+    no_stage2_no_ffn     stage-1 messages + pool  -> floor
+
+Usage: python tools/profile_grid_pieces.py [det_block]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+os.makedirs("/root/.cache/jax_comp_tpu", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    from point_cloud_reid_tpu.configs import get_experiment
+    from point_cloud_reid_tpu.models import build_model
+    from point_cloud_reid_tpu.ops.pallas.match_grid import pallas_grid_logits
+
+    det_block = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    cfg = get_experiment("pts_point-transformer_point-cat_nus_det_4x256_500e")
+    model = build_model(cfg["model"], dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    batch = dict(sparse_1=jax.random.normal(rng, (2, 128, 3)),
+                 sparse_2=jax.random.normal(rng, (2, 128, 3)),
+                 id_1=jnp.zeros((2,), jnp.int32),
+                 id_2=jnp.zeros((2,), jnp.int32))
+    variables = model.init(jax.random.PRNGKey(1), batch, train=False)
+
+    NT, ND, NPTS = 128, 128, 128
+
+    @jax.jit
+    def embed(variables, pts):
+        return model.apply(variables, pts, train=False, method="embed")
+
+    xyz_t, h_t = embed(variables,
+                       jax.random.normal(jax.random.PRNGKey(3), (NT, NPTS, 3)))
+    xyz_d, h_d = embed(variables,
+                       jax.random.normal(jax.random.PRNGKey(2), (ND, NPTS, 3)))
+
+    variants = dict(
+        full=frozenset(),
+        no_stage2=frozenset({"stage2"}),
+        no_ffn=frozenset({"ffn"}),
+        no_ln=frozenset({"ln"}),
+        no_stage2_no_ffn=frozenset({"stage2", "ffn"}),
+        no_s2_ffn_ln=frozenset({"stage2", "ffn", "ln"}),
+    )
+    for name, skip in variants.items():
+        fn = jax.jit(lambda v, a, b, c, d, s=skip: pallas_grid_logits(
+            model, v, a, b, c, d, det_block=det_block, debug_skip=s))
+        out = fn(variables, h_t, xyz_t, h_d, xyz_d)
+        float(jnp.sum(out))
+        t0 = time.perf_counter()
+        for _ in range(30):
+            out = fn(variables, h_t, xyz_t, h_d, xyz_d)
+        float(jnp.sum(out))
+        dt = (time.perf_counter() - t0) / 30
+        print(json.dumps(dict(name=name, ms=round(dt * 1e3, 3))), flush=True)
+
+
+if __name__ == "__main__":
+    main()
