@@ -209,7 +209,9 @@ def _bench_image_frame():
     model = build_model(cfg["model"], dtype=jnp.bfloat16)
     NT = ND = 64
     crops = jax.random.normal(jax.random.PRNGKey(0), (ND, 3, 224, 224))
-    batch = dict(img_1=crops[:2], img_2=crops[:2],
+    # image batches keep the reference's sparse_1/sparse_2 key names
+    # (ImageReIDNet.__call__, models/image_reid.py)
+    batch = dict(sparse_1=crops[:2], sparse_2=crops[:2],
                  id_1=jnp.zeros((2,), jnp.int32),
                  id_2=jnp.zeros((2,), jnp.int32))
     variables = model.init(jax.random.PRNGKey(1), batch, train=False)

@@ -190,9 +190,13 @@ class CompleteStore:
     """On-disk dense complete-shape store.
 
     Real equivalent of ObjectLoaderComplete{Nuscenes,Waymo}
-    (object_loader_base.py:469-497): per-object aggregated shapes at
-    {root}/{obj.path}/complete_pts_xyz.bin. Missing shapes load as zeros
-    (the FakeCompleteLoader stand-in semantics all released configs use).
+    (object_loader_base.py:469-497): those subclass the lamtk Loader
+    directly, whose load_points(info) reads the per-OBJECT aggregate at
+    {data_root}/{obj.path}/pts_xyz.bin (no frame subdirectory) — the layout
+    the published complete exports use. This store reads that first, falling
+    back to the synthetic-store name complete_pts_xyz.bin; missing shapes
+    load as zeros (the FakeCompleteLoader stand-in semantics all released
+    configs use).
     """
 
     def __init__(self, root: str, subsample_num: int = 2048):
@@ -207,9 +211,10 @@ class CompleteStore:
     def load_complete(self, obj_id: str) -> np.ndarray:
         rec = self.objects.get(obj_id)
         rel = rec.path if rec is not None else obj_id
-        path = os.path.join(self.root, rel, "complete_pts_xyz.bin")
-        if os.path.exists(path):
-            return np.fromfile(path, dtype=np.float32).reshape(-1, 3)
+        for name in ("pts_xyz.bin", "complete_pts_xyz.bin"):
+            path = os.path.join(self.root, rel, name)
+            if os.path.exists(path):
+                return np.fromfile(path, dtype=np.float32).reshape(-1, 3)
         return np.zeros((self.ssn, 3), dtype=np.float32)
 
 

@@ -206,3 +206,29 @@ def test_token_to_int_staging_and_combined_dir(tmp_path):
     # object_loader_base.py:42-52)
     md = load_metadata(os.path.join(root, "metadata"))
     assert set(md["obj_infos"]) == set(metadata["obj_infos"])
+
+
+def test_complete_store_reads_reference_layout(tmp_path):
+    """CompleteStore reads the published complete exports' per-object
+    pts_xyz.bin layout (lamtk Loader.load_points via
+    ObjectLoaderCompleteNuscenes, object_loader_base.py:469-481), with the
+    synthetic-store name as fallback and zeros when absent."""
+    from point_cloud_reid_tpu.data.store import CompleteStore
+
+    root = str(tmp_path / "complete")
+    rng = np.random.RandomState(3)
+    pts = rng.randn(40, 3).astype(np.float32)
+    d = os.path.join(root, "objects", "tok000")
+    os.makedirs(d)
+    pts.tofile(os.path.join(d, "pts_xyz.bin"))
+    recs = [ObjectRecord(id="tok000", class_name="car",
+                         path=os.path.join("objects", "tok000"), num_pts={}),
+            ObjectRecord(id="tok001", class_name="car",
+                         path=os.path.join("objects", "tok001"), num_pts={})]
+    with open(os.path.join(root, "objects.pkl"), "wb") as f:
+        pickle.dump(recs, f)
+    store = CompleteStore(root, subsample_num=16)
+    np.testing.assert_array_equal(store.load_complete("tok000"), pts)
+    # missing object -> zeros stand-in (FakeCompleteLoader semantics)
+    assert (store.load_complete("tok001") == 0).all()
+    assert store.load_complete("tok001").shape == (16, 3)
