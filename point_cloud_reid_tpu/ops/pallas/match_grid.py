@@ -17,10 +17,14 @@ small. Per cell the kernel scores 1 track x det_block pairs; per-pair matmuls
 are batched over the block's points (det_block*N rows) so every MXU call is a
 tall GEMM against shared weights.
 
-Numerics follow models/attention_blocks.CrossAttentionBlock exactly (same
-decomposition as finish_from_summary; the 1/v_length pre-scale folded into
-the KV summaries, eps-regularized normalizer); equality with the XLA path is
-pinned by tests/test_pair_grid.py::test_pallas_grid_matches_xla.
+Everything that depends on ONE object is hoisted out of the kernel into
+`grid_factors` (computed once per object, not once per pair): the stage-1
+queries and [KV | Z] summaries (Z = diag(ksum) @ head-mask folds the
+normalizer into the same contraction as the message), the stage-1 fc1
+search-half products, and the stage-2 pos-MLP @ v_proj term.  The 1/N value
+pre-scale and the xN message rescale cancel exactly and both sides drop them
+(msg * N / (z+eps) with v/N == msg_noN / (z+eps)); numerics equality with
+the XLA path is pinned by tests/test_pair_grid.py::test_pallas_grid_matches_xla.
 
 Mosaic notes: elu has no primitive (exp-based select), iota >= 2D
 (broadcasted_iota), per-head structure is expressed as block-diagonal (C, C)
@@ -62,10 +66,10 @@ def _make_dot(dt):
     return dot
 
 
-def _kernel(ht_ref, qt_ref, kvt_ref, kst_ref, post_ref,
-            hd_ref, qd_ref, kvd_ref, ksd_ref, posd_ref,
+def _kernel(ht_ref, qt_ref, kvzt_ref, at_ref, pvt_ref,
+            hd_ref, qd_ref, kvzd_ref, ad_ref, pvd_ref,
             m1_ref, ln1s_ref, ln1b_ref, f11_ref, f12_ref, ln2s_ref, ln2b_ref,
-            wq2_ref, wk2_ref, wv2_ref,
+            wq2_ref, wkv2_ref,
             m2_ref, ln21s_ref, ln21b_ref, f21_ref, f22_ref, ln22s_ref,
             ln22b_ref, out_ref, *, nhead: int, det_block: int,
             debug_skip: frozenset = frozenset()):
@@ -73,9 +77,14 @@ def _kernel(ht_ref, qt_ref, kvt_ref, kst_ref, post_ref,
     H, bd = nhead, det_block
     D = C // H
     f32 = jnp.float32
-    _dot = _make_dot(ht_ref.dtype)
+    dt = ht_ref.dtype
+    _dot = _make_dot(dt)
 
-    # block-diagonal head mask (C, C)
+    # block-diagonal head mask (C, C): G[c', c] = 1 iff same head.  Doubles
+    # as the normalizer reducer: (q * ksum) @ G sums each head's lanes and
+    # broadcasts the sum back across them in ONE MXU op — the r2 kernel's
+    # per-head lane-slice/sum/concat loop (zexp_rows) cost lane relayouts
+    # that the cost bisection showed dominating the non-matmul time.
     r = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0) // D
     c = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1) // D
     head_mask = (r == c).astype(f32)
@@ -88,27 +97,36 @@ def _kernel(ht_ref, qt_ref, kvt_ref, kst_ref, post_ref,
         xn = (x - mu) * jax.lax.rsqrt(var + 1e-5)
         return xn * scale_row + bias_row
 
-    def ffn(search, msg, merge_w, l1s, l1b, fc1, fc2, l2s, l2b):
+    def ffn(search3, msg3, a3, merge_w, l1s, l1b, fc1, fc2, l2s, l2b):
         """merge -> LN -> FFN([search || msg]) -> LN -> residual
-        (CrossAttentionBlock._ffn).
+        (CrossAttentionBlock._ffn), on (*, N, C) blocks.
+
+        a3 is the search-half fc1 product: for the stage-1 calls it is
+        per-OBJECT (search is the raw backbone feature) and arrives
+        precomputed from `grid_factors` — hoisted out of the per-pair
+        kernel entirely; the stage-2 calls pass None and compute it here
+        (search is pair-dependent there).
+
+        search3 may be (1, N, C): the track side stays un-broadcast — the
+        relu-add and residual broadcast over the leading dim inside the
+        elementwise ops, instead of materializing bd stacked copies (the
+        r2 kernel's HT/POST concats were pure VMEM copy passes).
 
         fc1 is applied as two row-split matmuls (search @ fc1[:C] +
         msg @ fc1[C:]) instead of concatenating [search || msg] along lanes
         first — same MXU cycles (2x K=C vs 1x K=2C), no lane-offset concat
         copy, and Mosaic handles sublane weight slices natively."""
-        m = layer_norm(_dot(msg, merge_w[:]), l1s, l1b)
+        m = layer_norm(_dot(msg3.reshape(bd * N, C), merge_w[:]), l1s, l1b)
         if "ffn" in debug_skip:         # cost-bisection variant (profiling)
-            return search + m
-        h = jnp.maximum(_dot(search, fc1[:C]) + _dot(m, fc1[C:]), 0.0)
-        h = layer_norm(_dot(h, fc2[:]), l2s, l2b)
-        return search + h
-
-    dt = ht_ref.dtype
-    ht = ht_ref[0].astype(f32)                                   # (N, C)
-    qt = qt_ref[0].astype(f32)
-    kvt = kvt_ref[0].astype(f32)                                 # (C, C)
-    kst = kst_ref[0].astype(f32)                                 # (1, C)
-    post = post_ref[0].astype(f32)                               # (N, C)
+            return search3 + m.reshape(bd, N, C)
+        if a3 is None:
+            ns = search3.shape[0]
+            a3 = _dot(search3.reshape(ns * N, C),
+                      fc1[:C]).reshape(ns, N, 2 * C)
+        b3 = _dot(m, fc1[C:]).reshape(bd, N, 2 * C)
+        h = jnp.maximum(a3 + b3, 0.0)                        # (bd, N, 2C)
+        h2 = layer_norm(_dot(h.reshape(bd * N, 2 * C), fc2[:]), l2s, l2b)
+        return search3 + h2.reshape(bd, N, C)
 
     def bdot(a3, b3):
         """Batched (bd, M, K) @ (bd, K, L) -> (bd, M, L) on the MXU — one
@@ -119,85 +137,75 @@ def _kernel(ht_ref, qt_ref, kvt_ref, kst_ref, post_ref,
                                    (((2,), (1,)), ((0,), (0,))),
                                    preferred_element_type=f32)
 
-    def zexp_rows(qk):
-        """Batched normalizer from elementwise q*ksum rows (R, C)."""
-        parts = []
-        for h in range(H):
-            z = jnp.sum(qk[:, h * D:(h + 1) * D], axis=1, keepdims=True)
-            z = 1.0 / (z + EPS)                                  # (R, 1)
-            parts.append(jnp.broadcast_to(z, (qk.shape[0], D)))
-        return jnp.concatenate(parts, axis=1)                    # (R, C)
+    def split_norm(mz3):
+        """[message | normalizer] lanes from one fused [KV | Z]
+        contraction -> msg / (z + eps).  Both lane halves are 64-aligned
+        slices of the 128-lane result."""
+        return mz3[..., :C] / (mz3[..., C:] + EPS)
 
     # ---- stage 1, direction track->det -------------------------------------
     # ONE batched matmul: broadcast qt across the det block, contract with
-    # each det's KV summary
-    QT = jnp.broadcast_to(qt[None], (bd, N, C))                  # (bd, N, C)
-    M1 = bdot(QT, kvd_ref[...]).reshape(bd * N, C)
-    KSD = jnp.broadcast_to(ksd_ref[...].astype(f32),
-                           (bd, N, C)).reshape(bd * N, C)
-    QTr = QT.reshape(bd * N, C)
-    M1 = M1 * zexp_rows(QTr * KSD) * N
-    HT = jnp.concatenate([ht] * bd, axis=0)                      # (bd*N, C)
-    o1a = ffn(HT, M1, m1_ref, ln1s_ref[:], ln1b_ref[:], f11_ref,
-              f12_ref, ln2s_ref[:], ln2b_ref[:])
+    # each det's fused [KV | diag(ksum) @ G] summary — message and
+    # normalizer from the same MXU pass.
+    QT = jnp.broadcast_to(qt_ref[...], (bd, N, C))               # bf16
+    M1 = split_norm(bdot(QT, kvzd_ref[...]))                     # (bd, N, C)
+    o1a = ffn(ht_ref[...], M1, at_ref[...], m1_ref, ln1s_ref[:],
+              ln1b_ref[:], f11_ref, f12_ref, ln2s_ref[:], ln2b_ref[:])
 
     # ---- stage 1, direction det->track ------------------------------------
-    QD = qd_ref[...].astype(f32).reshape(bd * N, C)
-    HD = hd_ref[...].astype(f32).reshape(bd * N, C)
-    msg2 = _dot(QD, kvt)                                         # (bd*N, C)
-    M2 = msg2 * zexp_rows(QD * kst) * N
-    o2a = ffn(HD, M2, m1_ref, ln1s_ref[:], ln1b_ref[:], f11_ref,
-              f12_ref, ln2s_ref[:], ln2b_ref[:])
+    # qd/hd feed the matmuls in bf16 directly (the MXU casts anyway); only
+    # the normalizer div / residual add promote to f32 on the fly.
+    mz2 = _dot(qd_ref[...].reshape(bd * N, C),
+               kvzt_ref[0]).reshape(bd, N, 2 * C)
+    o2a = ffn(hd_ref[...], split_norm(mz2), ad_ref[...], m1_ref,
+              ln1s_ref[:], ln1b_ref[:], f11_ref, f12_ref, ln2s_ref[:],
+              ln2b_ref[:])                                   # (bd, N, C)
 
     # ---- stage 2 (full cross attention, pair-dependent both sides) --------
-    POSD = posd_ref[...].astype(f32).reshape(bd * N, C)
-    POST = jnp.concatenate([post] * bd, axis=0)
-
-    def stage2_direction(search, template, template_pos):
-        """search/template (bd*N, C): per-det-block full linear attention,
-        with the per-det KV builds and message matmuls batched over bd."""
-        q = _elu1(_dot(search, wq2_ref[:].astype(f32)))
-        k = _elu1(_dot(template, wk2_ref[:].astype(f32)))
-        v = _dot(template + template_pos, wv2_ref[:].astype(f32)) / N
-        k3 = k.reshape(bd, N, C)
-        v3 = v.reshape(bd, N, C)
+    def stage2_direction(search3, template3, pv3):
+        """search/template (bd, N, C) f32: per-det-block full linear
+        attention, the KV builds and message matmuls batched over bd.
+        pv3 is the hoisted pos-MLP @ v_proj term, (1, N, C) on the track
+        side — broadcast in the add.  k and v come from ONE fused
+        template @ [Wk | Wv] matmul (tile-aligned 64-lane halves)."""
+        q = _elu1(_dot(search3.reshape(bd * N, C), wq2_ref[:]))
+        tkv = _dot(template3.reshape(bd * N, C),
+                   wkv2_ref[:]).reshape(bd, N, 2 * C)
+        k3 = _elu1(tkv[..., :C])                             # (bd, N, C)
+        v3 = tkv[..., C:] + pv3
         # (bd, C, C) = k_d^T v_d for every det at once
         kv = jax.lax.dot_general(k3.astype(dt), v3.astype(dt),
                                  (((1,), (1,)), ((0,), (0,))),
                                  preferred_element_type=f32)
         kv = kv * head_mask[None]
-        msg = bdot(q.reshape(bd, N, C), kv).reshape(bd * N, C)
-        ks = jnp.broadcast_to(jnp.sum(k3, axis=1, keepdims=True),
-                              (bd, N, C)).reshape(bd * N, C)
-        return msg * zexp_rows(q * ks) * N
+        msg = bdot(q.reshape(bd, N, C), kv)
+        ks = jnp.sum(k3, axis=1, keepdims=True)              # (bd, 1, C)
+        z = _dot((q.reshape(bd, N, C) * ks).reshape(bd * N, C),
+                 head_mask).reshape(bd, N, C)
+        return msg / (z + EPS)
 
     if "stage2" in debug_skip:          # cost-bisection variant (profiling)
         o1b, o2b = o1a, o2a
     else:
-        s2_msg1 = stage2_direction(o1a, o2a, POSD)
-        s2_msg2 = stage2_direction(o2a, o1a, POST)
-        o1b = ffn(o1a, s2_msg1, m2_ref, ln21s_ref[:], ln21b_ref[:], f21_ref,
-                  f22_ref, ln22s_ref[:], ln22b_ref[:])
-        o2b = ffn(o2a, s2_msg2, m2_ref, ln21s_ref[:], ln21b_ref[:], f21_ref,
-                  f22_ref, ln22s_ref[:], ln22b_ref[:])
+        s2_msg1 = stage2_direction(o1a, o2a, pvd_ref[...])
+        s2_msg2 = stage2_direction(o2a, o1a, pvt_ref[...])
+        o1b = ffn(o1a, s2_msg1, None, m2_ref, ln21s_ref[:], ln21b_ref[:],
+                  f21_ref, f22_ref, ln22s_ref[:], ln22b_ref[:])
+        o2b = ffn(o2a, s2_msg2, None, m2_ref, ln21s_ref[:], ln21b_ref[:],
+                  f21_ref, f22_ref, ln22s_ref[:], ln22b_ref[:])
 
     # ---- point-cat pool: max/avg over the 2N combined points --------------
-    rows = []
-    for d in range(bd):
-        a = o1b[d * N:(d + 1) * N]
-        b = o2b[d * N:(d + 1) * N]
-        mx = jnp.maximum(jnp.max(a, axis=0, keepdims=True),
-                         jnp.max(b, axis=0, keepdims=True))      # (1, C)
-        av = 0.5 * (jnp.mean(a, axis=0, keepdims=True)
-                    + jnp.mean(b, axis=0, keepdims=True))
-        rows.append(jnp.concatenate([mx, av], axis=1))           # (1, 2C)
-    out_ref[0] = jnp.concatenate(rows, axis=0).astype(out_ref.dtype)
+    # 3D reductions over the point axis (the r2 kernel looped bd sublane
+    # slices + a row concat); one aligned lane-concat of the (bd, C) halves.
+    mx = jnp.maximum(jnp.max(o1b, axis=1), jnp.max(o2b, axis=1))
+    av = 0.5 * (jnp.mean(o1b, axis=1) + jnp.mean(o2b, axis=1))
+    out_ref[0] = jnp.concatenate([mx, av], axis=1).astype(out_ref.dtype)
 
 
-def fused_match_grid(h_t: jnp.ndarray, qt: jnp.ndarray, kvt: jnp.ndarray,
-                     kst: jnp.ndarray, post2: jnp.ndarray,
-                     h_d: jnp.ndarray, qd: jnp.ndarray, kvd: jnp.ndarray,
-                     ksd: jnp.ndarray, posd2: jnp.ndarray,
+def fused_match_grid(h_t: jnp.ndarray, qt: jnp.ndarray, kvzt: jnp.ndarray,
+                     at1: jnp.ndarray, pvt: jnp.ndarray,
+                     h_d: jnp.ndarray, qd: jnp.ndarray, kvzd: jnp.ndarray,
+                     ad1: jnp.ndarray, pvd: jnp.ndarray,
                      stage1: Dict[str, Any], stage2: Dict[str, Any],
                      nhead: int, det_block: int = 8,
                      interpret: bool = False,
@@ -207,13 +215,16 @@ def fused_match_grid(h_t: jnp.ndarray, qt: jnp.ndarray, kvt: jnp.ndarray,
     Args:
         h_t/h_d: (nt/nd, N, C) backbone features.
         qt/qd: (n, N, C) elu+1 stage-1 queries (per object).
-        kvt/kvd: (n, C, C) block-diagonal stage-1 KV summaries (values carry
-            the 1/N pre-scale).
-        kst/ksd: (n, C) stage-1 key sums.
-        post2/posd2: (n, N, C) stage-2 pos-MLP outputs.
+        kvzt/kvzd: (n, C, 2C) fused [KV | Z] stage-1 summaries
+            (`grid_factors`): KV is the block-diagonal key-value summary
+            (no 1/N — it cancels against the xN message rescale),
+            Z = diag(ksum) @ head-mask so the same contraction yields the
+            normalizer.
+        at1/ad1: (n, N, 2C) hoisted stage-1 fc1 search-half products.
+        pvt/pvd: (n, N, C) hoisted stage-2 pos-MLP @ v_proj terms.
         stage1/stage2: weight dicts — stage1: merge (C,C), ln1_scale/ln1_bias
             (C,), fc1 (2C,2C), fc2 (2C,C), ln2_scale/ln2_bias; stage2 adds
-            q/k/v (C,C).
+            q (C,C) and kv (C,2C) = [Wk | Wv].
     Returns:
         (nt, nd, 2C) pooled [max || avg] features; feed the match head.
     """
@@ -228,7 +239,7 @@ def fused_match_grid(h_t: jnp.ndarray, qt: jnp.ndarray, kvt: jnp.ndarray,
     weights = [stage1["merge"], row(stage1["ln1_scale"]), row(stage1["ln1_bias"]),
                stage1["fc1"], stage1["fc2"],
                row(stage1["ln2_scale"]), row(stage1["ln2_bias"]),
-               stage2["q"], stage2["k"], stage2["v"],
+               stage2["q"], stage2["kv"],
                stage2["merge"], row(stage2["ln1_scale"]), row(stage2["ln1_bias"]),
                stage2["fc1"], stage2["fc2"],
                row(stage2["ln2_scale"]), row(stage2["ln2_bias"])]
@@ -238,16 +249,16 @@ def fused_match_grid(h_t: jnp.ndarray, qt: jnp.ndarray, kvt: jnp.ndarray,
     const = lambda j, i: (0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, N, C), track, memory_space=pltpu.VMEM),   # ht
-        pl.BlockSpec((1, N, C), track, memory_space=pltpu.VMEM),   # qt
-        pl.BlockSpec((1, C, C), track, memory_space=pltpu.VMEM),   # kvt
-        pl.BlockSpec((1, 1, C), track, memory_space=pltpu.VMEM),   # kst
-        pl.BlockSpec((1, N, C), track, memory_space=pltpu.VMEM),   # post
-        pl.BlockSpec((bd, N, C), det, memory_space=pltpu.VMEM),    # hd
-        pl.BlockSpec((bd, N, C), det, memory_space=pltpu.VMEM),    # qd
-        pl.BlockSpec((bd, C, C), det, memory_space=pltpu.VMEM),    # kvd
-        pl.BlockSpec((bd, 1, C), det, memory_space=pltpu.VMEM),    # ksd
-        pl.BlockSpec((bd, N, C), det, memory_space=pltpu.VMEM),    # posd
+        pl.BlockSpec((1, N, C), track, memory_space=pltpu.VMEM),    # ht
+        pl.BlockSpec((1, N, C), track, memory_space=pltpu.VMEM),    # qt
+        pl.BlockSpec((1, C, 2 * C), track, memory_space=pltpu.VMEM),  # kvzt
+        pl.BlockSpec((1, N, 2 * C), track, memory_space=pltpu.VMEM),  # at
+        pl.BlockSpec((1, N, C), track, memory_space=pltpu.VMEM),    # pvt
+        pl.BlockSpec((bd, N, C), det, memory_space=pltpu.VMEM),     # hd
+        pl.BlockSpec((bd, N, C), det, memory_space=pltpu.VMEM),     # qd
+        pl.BlockSpec((bd, C, 2 * C), det, memory_space=pltpu.VMEM),  # kvzd
+        pl.BlockSpec((bd, N, 2 * C), det, memory_space=pltpu.VMEM),  # ad
+        pl.BlockSpec((bd, N, C), det, memory_space=pltpu.VMEM),     # pvd
     ] + [pl.BlockSpec(w.shape, const, memory_space=pltpu.VMEM) for w in weights]
 
     out_spec = pl.BlockSpec((1, bd, 2 * C), lambda j, i: (i, j, 0),
@@ -255,15 +266,21 @@ def fused_match_grid(h_t: jnp.ndarray, qt: jnp.ndarray, kvt: jnp.ndarray,
 
     kern = functools.partial(_kernel, nhead=nhead, det_block=bd,
                              debug_skip=debug_skip)
+    # det_block 32 wants ~18 MB of VMEM stack — well inside v5e's physical
+    # VMEM but over the 16 MB default scoped limit (a 100 MB limit makes the
+    # Mosaic allocator thrash, 25x slower — keep it tight).  Fewer, bigger
+    # cells amortize per-op issue overhead, the dominant cost at C=64 widths.
+    params = (None if interpret else
+              pltpu.CompilerParams(vmem_limit_bytes=20 * 1024 * 1024))
     return pl.pallas_call(
         kern,
         grid=(nb, nt),
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((nt, nd, 2 * C), h_t.dtype),
+        compiler_params=params,
         interpret=interpret,
-    )(h_t, qt, kvt, kst[:, None, :], post2,
-      h_d, qd, kvd, ksd[:, None, :], posd2, *weights)
+    )(h_t, qt, kvzt, at1, pvt, h_d, qd, kvzd, ad1, pvd, *weights)
 
 
 def grid_factors(params: Dict[str, Any], h: jnp.ndarray, xyz: jnp.ndarray,
@@ -272,7 +289,19 @@ def grid_factors(params: Dict[str, Any], h: jnp.ndarray, xyz: jnp.ndarray,
 
     Mirrors CrossAttentionBlock.query_features/template_summary and the
     stage-2 pos-MLP on plain weight arrays (param-tree paths are the
-    converter-stable names). Returns (q, kv_blockdiag, ksum, pos2).
+    converter-stable names).  Everything per-OBJECT in the pair chain is
+    computed here, once, instead of per pair inside the kernel:
+
+    Returns (q, kvz, a1, pv), all cast to h.dtype (bf16 on TPU — they feed
+    MXU contractions, which cast anyway, and halve the VMEM blocks):
+        q:   (n, N, C)  elu+1 stage-1 queries.
+        kvz: (n, C, 2C) [KV | Z]: KV = k^T v block-diagonal summary (no 1/N;
+             it cancels against the xN rescale), Z = diag(ksum) @ head-mask
+             so q @ kvz yields message and normalizer in one contraction.
+        a1:  (n, N, 2C) h @ stage1.fc1[:C] — the search half of the stage-1
+             FFN's first layer (per-object, so hoisted).
+        pv:  (n, N, C)  stage-2 pos-MLP(xyz) @ v_proj — the position half of
+             the stage-2 value projection (per-object, so hoisted).
     """
     s1, s2 = params["cross_stage1"], params["cross_stage2"]
     n, N, C = h.shape
@@ -283,16 +312,21 @@ def grid_factors(params: Dict[str, Any], h: jnp.ndarray, xyz: jnp.ndarray,
     pos1 = jax.nn.relu(xyz @ s1["pos_mlp"]["fc1"]["kernel"]
                        + s1["pos_mlp"]["fc1"]["bias"])
     pos1 = pos1 @ s1["pos_mlp"]["fc2"]["kernel"] + s1["pos_mlp"]["fc2"]["bias"]
-    v = (h + pos1) @ s1["v_proj"]["kernel"] / N
+    v = (h + pos1) @ s1["v_proj"]["kernel"]
     kv = jnp.einsum("bnc,bnd->bcd", k, v)                        # (n, C, C)
     rr = jnp.arange(C)[:, None] // D
     cc = jnp.arange(C)[None, :] // D
-    kv = kv * (rr == cc).astype(kv.dtype)                        # block-diag
-    ksum = k.sum(axis=1)                                         # (n, C)
+    gmask = (rr == cc)
+    kv = kv * gmask.astype(kv.dtype)                             # block-diag
+    zmat = k.sum(axis=1)[:, :, None] * gmask[None].astype(kv.dtype)
+    kvz = jnp.concatenate([kv, zmat], axis=-1)                   # (n, C, 2C)
+    a1 = h @ s1["mlp_fc1"]["kernel"][:C]                         # (n, N, 2C)
     pos2 = jax.nn.relu(xyz @ s2["pos_mlp"]["fc1"]["kernel"]
                        + s2["pos_mlp"]["fc1"]["bias"])
     pos2 = pos2 @ s2["pos_mlp"]["fc2"]["kernel"] + s2["pos_mlp"]["fc2"]["bias"]
-    return q, kv, ksum, pos2
+    pv = pos2 @ s2["v_proj"]["kernel"]                           # (n, N, C)
+    dt = h.dtype
+    return q.astype(dt), kvz.astype(dt), a1.astype(dt), pv.astype(dt)
 
 
 def pallas_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
@@ -305,11 +339,11 @@ def pallas_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
     for checking compatibility (PairScorer does)."""
     params = variables["params"]
     nhead = dict(model.cross_stage1)["nhead"]
-    qt, kvt, kst, post = grid_factors(params, h_t, xyz_t, nhead)
-    qd, kvd, ksd, posd = grid_factors(params, h_d, xyz_d, nhead)
+    qt, kvzt, at1, pvt = grid_factors(params, h_t, xyz_t, nhead)
+    qd, kvzd, ad1, pvd = grid_factors(params, h_d, xyz_d, nhead)
     w1, w2 = stage_weights(params)
-    pooled = fused_match_grid(h_t, qt, kvt, kst, post,
-                              h_d, qd, kvd, ksd, posd,
+    pooled = fused_match_grid(h_t, qt, kvzt, at1, pvt,
+                              h_d, qd, kvzd, ad1, pvd,
                               w1, w2, nhead, det_block, interpret,
                               debug_skip=debug_skip)
     nt, nd = h_t.shape[0], h_d.shape[0]
@@ -389,6 +423,7 @@ def stage_weights(params: Dict[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any
 
     w1 = common(s1)
     w2 = common(s2)
-    w2.update(q=s2["q_proj"]["kernel"], k=s2["k_proj"]["kernel"],
-              v=s2["v_proj"]["kernel"])
+    w2.update(q=s2["q_proj"]["kernel"],
+              kv=jnp.concatenate([s2["k_proj"]["kernel"],
+                                  s2["v_proj"]["kernel"]], axis=1))
     return w1, w2

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Train-step cost table: fwd/bwd split + XLA bytes/FLOPs vs the HBM roof.
+
+Substantiates (or breaks) the 'train step is bandwidth-bound' claim
+(VERDICT r2 weak #7): prints, for the flagship B=256 step on TPU,
+  - full step ms, XLA FLOPs + bytes accessed, implied TFLOP/s + GB/s,
+  - forward-only (loss) ms + bytes -> backward = step - forward,
+  - per-SA/FP-stage numbers at the train batch (run tools/profile_embed.py
+    512 for the stage-level table; this tool prints the whole-program view).
+One JSON line per program.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+os.makedirs("/root/.cache/jax_comp_tpu", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _cost(compiled):
+    try:
+        c = compiled.cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0)), float(c.get("bytes accessed", 0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def bench(name, jitted, args, n=20, sync=lambda out: out):
+    compiled = jitted.lower(*args).compile()
+    fl, by = _cost(compiled)
+    out = compiled(*args)
+    float(jnp.sum(sync(out)))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = compiled(*args)
+    float(jnp.sum(sync(out)))
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps(dict(
+        name=name, ms=round(dt * 1e3, 2),
+        flops_T=round(fl / 1e12, 3), bytes_GB=round(by / 1e9, 2),
+        tflops_per_s=round(fl / dt / 1e12, 1) if fl else None,
+        gb_per_s=round(by / dt / 1e9, 1) if by else None)), flush=True)
+    return dt
+
+
+def main():
+    from point_cloud_reid_tpu.configs import get_experiment
+    from point_cloud_reid_tpu.models import build_model
+    from point_cloud_reid_tpu.train import (TrainState, build_optimizer,
+                                            make_train_step)
+    from point_cloud_reid_tpu.train.losses import reid_losses
+    from point_cloud_reid_tpu.train.schedules import ScheduleConfig
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    N = 128
+    cfg = get_experiment("pts_point-transformer_point-cat_nus_det_4x256_500e")
+    model = build_model(cfg["model"], dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    batch = dict(
+        sparse_1=jax.random.normal(rng, (B, N, 3)),
+        sparse_2=jax.random.normal(jax.random.PRNGKey(1), (B, N, 3)),
+        label_1=jnp.zeros((B,), jnp.int32),
+        label_2=(jnp.arange(B, dtype=jnp.int32) % 2),
+        id_1=jnp.arange(B, dtype=jnp.int32),
+        id_2=jnp.arange(B, dtype=jnp.int32) % 7,
+    )
+    losses = dict(match=True, kl=True, triplet=True)
+    tx = build_optimizer(ScheduleConfig(max_epochs=1), steps_per_epoch=100)
+    state = TrainState.create(model, tx, batch, rng=jax.random.PRNGKey(2))
+    step = make_train_step(model, tx, losses_to_use=losses, alpha={},
+                           donate=False)
+    bench(f"train_step_B{B}", jax.jit(step),
+          (state, batch, jax.random.PRNGKey(3)),
+          sync=lambda out: out[1]["reid_loss"])
+
+    def fwd_loss(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out, _ = model.apply(variables, batch, train=True,
+                             mutable=["batch_stats"])
+        loss, _ = reid_losses(out, batch, losses_to_use=losses, alpha={},
+                              rng=rng, fp_label_threshold=9, use_o=False,
+                              triplet_sample_num=5, triplet_margin=0.2,
+                              pool_type=model.pool_type)
+        return loss
+
+    bench(f"forward_loss_B{B}", jax.jit(fwd_loss),
+          (state.params, state.batch_stats, batch, jax.random.PRNGKey(3)))
+
+    # embed-only forward at the siamese batch (2B crops through the backbone)
+    def embed2b(params, batch_stats, b):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        pts = jnp.concatenate([b["sparse_1"], b["sparse_2"]], axis=0)
+        out, _ = model.apply(variables, pts, train=True,
+                             mutable=["batch_stats"], method="embed")
+        return out[1]
+
+    bench(f"embed_train_2B{2 * B}", jax.jit(embed2b),
+          (state.params, state.batch_stats, batch))
+
+
+if __name__ == "__main__":
+    main()
