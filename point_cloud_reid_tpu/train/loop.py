@@ -56,6 +56,15 @@ def make_train_step(model, tx: optax.GradientTransformation,
     remat 854 samples/s; use remat for memory-limited configs (e.g. the
     2048-point dense ablations), not for speed. Note the mul=4 forward's own
     working peak exceeds 16 GB at B=1024 with or without remat.
+
+    The step is measured AT the HBM roof (~670 GB/s at B=256,
+    tools/profile_train_table.py) and that traffic is intrinsic — two
+    selective-remat attempts to cut it were measured and rejected: a
+    whole-loss policy checkpoint (save_anything_except_these_names on the
+    grouped (B,S,K,C) tensors) makes every recomputed tensor live at once
+    (37 GB > 16 GB HBM at B=256), and nn.remat around each SA BatchNorm
+    produced bit-identical HLO cost — XLA already avoids storing the f32
+    BN internals.
     """
     need_dense = losses_to_use.get("dense", False)
 

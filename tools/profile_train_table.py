@@ -84,6 +84,16 @@ def main():
           (state, batch, jax.random.PRNGKey(3)),
           sync=lambda out: out[1]["reid_loss"])
 
+    # Two remat experiments were run from this seat and REJECTED (keep the
+    # conclusions, not the knobs):
+    #  - whole-loss jax.checkpoint with save_anything_except_these_names on
+    #    tagged (B,S,K,C) grouped tensors: one recompute region makes every
+    #    recomputed tensor live at once -> 37 GB > 16 GB HBM, OOM at B=256.
+    #  - nn.remat around each SA BatchNorm (drop the f32 normalized
+    #    residual): bit-identical HLO cost (124.19 GB / 184 ms) — XLA was
+    #    already not storing the f32 internals; the traffic is the grouped
+    #    tensors' intrinsic materialization, not autodiff residual waste.
+
     def fwd_loss(params, batch_stats, batch, rng):
         variables = {"params": params}
         if batch_stats:
