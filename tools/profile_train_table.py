@@ -84,8 +84,8 @@ def main():
           (state, batch, jax.random.PRNGKey(3)),
           sync=lambda out: out[1]["reid_loss"])
 
-    # Two remat experiments were run from this seat and REJECTED (keep the
-    # conclusions, not the knobs):
+    # Three byte-cut experiments were run from this seat and REJECTED (keep
+    # the conclusions, not the knobs):
     #  - whole-loss jax.checkpoint with save_anything_except_these_names on
     #    tagged (B,S,K,C) grouped tensors: one recompute region makes every
     #    recomputed tensor live at once -> 37 GB > 16 GB HBM, OOM at B=256.
@@ -93,6 +93,15 @@ def main():
     #    residual): bit-identical HLO cost (124.19 GB / 184 ms) — XLA was
     #    already not storing the f32 internals; the traffic is the grouped
     #    tensors' intrinsic materialization, not autodiff residual waste.
+    #  - BN statistics computed algebraically from the conv INPUT
+    #    (mean = E[x]W + b, var = wᵀE[xxᵀ]w − mean²) so the conv output's
+    #    only consumer is elementwise, hoping it output-fuses like the
+    #    eval schedule: measured 251 ms / 9.9 TFLOP / 172 GB — the conv
+    #    output is a backward residual either way ((out − μ) feeds the
+    #    rsqrt-grad), so nothing fused away and the E[xxᵀ] contractions
+    #    (+72% FLOPs, and their own backward) were pure cost. In train
+    #    mode only a custom-VJP fused SA kernel can avoid materializing
+    #    the grouped chain.
 
     def fwd_loss(params, batch_stats, batch, rng):
         variables = {"params": params}
