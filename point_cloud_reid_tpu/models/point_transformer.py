@@ -51,9 +51,19 @@ class SetAbstractionEdgeSA(nn.Module):
     group_all: bool = False
     knn_method: str = "argsort"
     edge_split: bool = True
+    # train-mode fused-residual path (ops/sa_train): one op for the whole
+    # gather->conv/BN/relu x3->max chain. Output, batch stats, and gradients
+    # match the unfused path (tests/test_sa_train.py) but the full train step
+    # measured SLOWER than the flax path at the flagship shapes (see
+    # ops/sa_train.py docstring for the numbers) — default OFF, kept as a
+    # measured-dead-end record and an opt-in for re-evaluation.
+    fused_train: bool = False
+    # True: custom-VJP residual policy (ops/sa_train.sa_train_pooled);
+    # False: same fused forward math, plain autodiff backward.
+    fused_train_vjp: bool = True
     # eval-mode fused pallas path (ops/pallas/sa_stage): gather + conv MLP +
     # max-over-k in one VMEM-resident kernel per crop. Inference only — train
-    # always runs the XLA path (autodiff + batch-stat updates).
+    # runs the XLA/custom-VJP path (autodiff + batch-stat updates).
     pallas_inference: bool = False
     pallas_interpret: bool = False
     dtype: Any = jnp.float32
@@ -91,6 +101,18 @@ class SetAbstractionEdgeSA(nn.Module):
                                    name="self_attention")(h, new_xyz)
             return new_xyz, h
 
+        use_fused_train = (self.fused_train and train
+                           and not self.is_initializing()
+                           and not self.group_all and len(blocks) == 3)
+        if use_fused_train:
+            new_xyz, h, stats = self._fused_train_forward(
+                blocks, xyz, points, numpoints)
+            for blk, (m, v) in zip(blocks, stats):
+                blk.update_stats(m, v)
+            h = SelfAttentionBlock(self.mlp[-1], nhead=2, dtype=self.dtype,
+                                   name="self_attention")(h, new_xyz)
+            return new_xyz, h
+
         use_split = (self.edge_split and not self.group_all
                      and points is not None)
         if use_split:
@@ -116,19 +138,15 @@ class SetAbstractionEdgeSA(nn.Module):
                                name="self_attention")(h, new_xyz)
         return new_xyz, h
 
-    def _split_first_layer(self, blk0, xyz, points, numpoints, train):
-        """Factored conv1 over edge features (see class docstring)."""
-        D = points.shape[-1]
-        if self.is_initializing():
-            # create conv params at the full edge width without the big tensor
-            blk0.conv(jnp.zeros((1, 3 + 2 * D), points.dtype))
+    def _centers_and_idx(self, xyz, numpoints):
+        """Center sampling + neighbor indices (shared by the factored paths)."""
         if self.sampling == "FPS":
             fps_idx = farthest_point_sample(xyz, numpoints)
         elif self.sampling == "RANDOM":
             fps_idx = random_point_sample(xyz, numpoints)
         else:
             # mirror sample_and_group_edge's validation (ops/geometry.py) so a
-            # config typo fails the same way with or without edge_split
+            # config typo fails the same way on every path
             raise ValueError(f"unknown sampling {self.sampling}")
         new_xyz = index_points(xyz, fps_idx)
         if self.use_knn:
@@ -136,6 +154,60 @@ class SetAbstractionEdgeSA(nn.Module):
                               method=self.knn_method)
         else:
             idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
+        return fps_idx, new_xyz, idx
+
+    def _fused_train_forward(self, blocks, xyz, points, numpoints):
+        """conv1 factors (A, Ct) + the fused chain (ops/sa_train)."""
+        from ..ops.sa_train import sa_train_pooled, sa_train_reference
+        chain = sa_train_pooled if self.fused_train_vjp else sa_train_reference
+        blk0 = blocks[0]
+        fps_idx, new_xyz, idx = self._centers_and_idx(xyz, numpoints)
+        params = blk0.conv.variables["params"]
+        kernel = params["kernel"]                                 # (3[+2D], C1)
+        bias = params.get("bias")
+        dt = self.dtype
+        C = kernel.shape[-1]
+        w_d = kernel[:3]
+        A = xyz.astype(dt) @ w_d.astype(dt)
+        Ct = -new_xyz.astype(dt) @ w_d.astype(dt)
+        if points is not None:
+            D = points.shape[-1]
+            w_c = kernel[3:3 + D]
+            w_g = kernel[3 + D:]
+            A = A + points.astype(dt) @ w_g.astype(dt)
+            Ct = Ct + (index_points(points, fps_idx).astype(dt)
+                       @ (w_c - w_g).astype(dt))
+        if bias is not None:
+            Ct = Ct + bias.astype(dt)
+
+        def conv_params(blk):
+            p = blk.conv.variables["params"]
+            b = p.get("bias")
+            return p["kernel"], (jnp.zeros((C,), jnp.float32) if b is None
+                                 else b)
+
+        def bn_params(blk):
+            p = blk.bn.variables["params"]
+            return p["scale"], p["bias"]
+
+        w2, b2 = conv_params(blocks[1])
+        w3, b3 = conv_params(blocks[2])
+        g1, be1 = bn_params(blocks[0])
+        g2, be2 = bn_params(blocks[1])
+        g3, be3 = bn_params(blocks[2])
+        cfg = (float(blk0.bn.epsilon), jnp.dtype(dt).name)
+        out, stats = chain(cfg, A, Ct, idx.astype(jnp.int32),
+                           w2, b2, w3, b3,
+                           g1, be1, g2, be2, g3, be3)
+        return new_xyz, out, stats
+
+    def _split_first_layer(self, blk0, xyz, points, numpoints, train):
+        """Factored conv1 over edge features (see class docstring)."""
+        D = points.shape[-1]
+        if self.is_initializing():
+            # create conv params at the full edge width without the big tensor
+            blk0.conv(jnp.zeros((1, 3 + 2 * D), points.dtype))
+        fps_idx, new_xyz, idx = self._centers_and_idx(xyz, numpoints)
 
         kernel = blk0.conv.variables["params"]["kernel"]          # (3+2D, C1)
         w_d = kernel[:3]
@@ -184,6 +256,8 @@ class PointTransformerBackbone(nn.Module):
     radius: Sequence[float] = (0.3, 0.5, 0.7)
     nsample: Sequence[int] = (32, 48, 48)
     knn_method: str = "argsort"
+    fused_train: bool = False
+    fused_train_vjp: bool = True
     pallas_inference: bool = False
     pallas_interpret: bool = False
     dtype: Any = jnp.float32
@@ -210,6 +284,8 @@ class PointTransformerBackbone(nn.Module):
                 mlp=spec["mlp"], nsample=spec["nsample"], radius=spec["radius"],
                 sampling="RANDOM", use_xyz=self.use_xyz, use_knn=True,
                 knn_method=self.knn_method,
+                fused_train=self.fused_train,
+                fused_train_vjp=self.fused_train_vjp,
                 pallas_inference=self.pallas_inference,
                 pallas_interpret=self.pallas_interpret,
                 dtype=self.dtype, name=f"sa_{i}",

@@ -95,6 +95,8 @@ def build_backbone(cfg: Spec, dtype=jnp.float32, knn_method: str = "argsort"):
             radius=tuple(cfg.get("radius", (0.3, 0.5, 0.7))),
             nsample=tuple(cfg.get("nsample", (32, 48, 48))),
             knn_method=knn_method,
+            fused_train=cfg.get("fused_train", False),
+            fused_train_vjp=cfg.get("fused_train_vjp", True),
             pallas_inference=cfg.get("pallas_inference", False),
             pallas_interpret=cfg.get("pallas_interpret", False),
             dtype=dtype, name="backbone")

@@ -55,7 +55,17 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray,
     poorly on TPU, matmuls ride the MXU. The rewrite is EXACT (each one-hot
     row has a single 1.0, so the contraction reproduces the gathered value
     bit-for-bit; asserted on hardware). Falls back to take_along_axis for
-    integer dtypes, CPU, or when the (B, K, N) selector would exceed 256 MB.
+    integer dtypes, CPU, or when the (B, K, N) selector would exceed 1 GiB.
+
+    The selector budget is 1 GiB, not the round-2 256 MB: at the flagship
+    TRAIN shapes the guard forced SA1/SA2 onto native gathers whose measured
+    cost is 6-10x the one-hot's (tools/profile_gather.py, v5e bf16 —
+    SA1 (512,128,128) x idx (512,128,32): take 20.6 ms fwd / 34.3 ms
+    scatter-vjp vs one-hot 3.3 / 3.3; SA2 (512,128,256) x (512,64,48):
+    17.8 / 29.9 vs 2.8 / 2.8 — XLA's native scatter runs at ~6 GB/s
+    effective). The selector is transient (XLA schedules it), so the bound
+    is HBM-traffic-vs-matmul-FLOPs, not resident memory; above 1 GiB the
+    matmul cost itself dominates and native wins again.
     """
     B, N, C = points.shape
     # Clamp out-of-range indices (e.g. query_ball_point's empty-ball sentinel
@@ -67,7 +77,7 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray,
     use_onehot = method == "onehot" or (
         method == "auto" and jax.default_backend() == "tpu"
         and jnp.issubdtype(points.dtype, jnp.floating)
-        and B * K * N * points.dtype.itemsize <= 268_435_456)
+        and B * K * N * points.dtype.itemsize <= 1_073_741_824)
     if use_onehot:
         oh = jax.nn.one_hot(flat, N, dtype=points.dtype)              # (B, K, N)
         out = jnp.einsum("bkn,bnc->bkc", oh, points)

@@ -65,6 +65,10 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     N = 128
     cfg = get_experiment("pts_point-transformer_point-cat_nus_det_4x256_500e")
+    if "--fused" in sys.argv:
+        cfg["model"]["backbone"]["fused_train"] = True
+    if "--no-vjp" in sys.argv:
+        cfg["model"]["backbone"]["fused_train_vjp"] = False
     model = build_model(cfg["model"], dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     batch = dict(
