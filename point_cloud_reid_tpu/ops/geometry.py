@@ -35,6 +35,9 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     return s2 - 2.0 * inner + jnp.swapaxes(d2, -1, -2)
 
 
+_SELECTOR_BUDGET_BYTES = 1_073_741_824  # per one-hot selector slice
+
+
 def index_points(points: jnp.ndarray, idx: jnp.ndarray,
                  method: str = "auto") -> jnp.ndarray:
     """Gather points/features by index along the point axis.
@@ -55,17 +58,20 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray,
     poorly on TPU, matmuls ride the MXU. The rewrite is EXACT (each one-hot
     row has a single 1.0, so the contraction reproduces the gathered value
     bit-for-bit; asserted on hardware). Falls back to take_along_axis for
-    integer dtypes, CPU, or when the (B, K, N) selector would exceed 1 GiB.
+    integer dtypes, CPU, or when a single (B, K, N) selector SLICE would
+    exceed 1 GiB even after splitting K 8 ways.
 
-    The selector budget is 1 GiB, not the round-2 256 MB: at the flagship
-    TRAIN shapes the guard forced SA1/SA2 onto native gathers whose measured
-    cost is 6-10x the one-hot's (tools/profile_gather.py, v5e bf16 —
-    SA1 (512,128,128) x idx (512,128,32): take 20.6 ms fwd / 34.3 ms
-    scatter-vjp vs one-hot 3.3 / 3.3; SA2 (512,128,256) x (512,64,48):
-    17.8 / 29.9 vs 2.8 / 2.8 — XLA's native scatter runs at ~6 GB/s
-    effective). The selector is transient (XLA schedules it), so the bound
-    is HBM-traffic-vs-matmul-FLOPs, not resident memory; above 1 GiB the
-    matmul cost itself dominates and native wins again.
+    The per-selector budget is 1 GiB, not the round-2 256 MB: at the
+    flagship TRAIN shapes the old guard forced SA1/SA2 onto native gathers
+    whose measured cost is 6-10x the one-hot's (tools/profile_gather.py,
+    v5e bf16 — SA1 (512,128,128) x idx (512,128,32): take 20.6 ms fwd /
+    34.3 ms scatter-vjp vs one-hot 3.3 / 3.3; SA2 (512,128,256) x
+    (512,64,48): 17.8 / 29.9 vs 2.8 / 2.8 — XLA's native scatter runs at
+    ~6 GB/s effective). Selectors above the budget are split into <=8 equal
+    UNROLLED K-slices, each its own one-hot einsum writing an adjacent
+    output slice (no lax.scan, no layout shuffles — a scanned variant
+    measured slower than native); this keeps B=512+ training batches on the
+    MXU path. The budget caps transient HBM residency per selector slice.
     """
     B, N, C = points.shape
     # Clamp out-of-range indices (e.g. query_ball_point's empty-ball sentinel
@@ -74,13 +80,24 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray,
     # one-hot path would otherwise silently return zeros for idx >= N.
     flat = jnp.clip(idx.reshape(B, -1).astype(jnp.int32), 0, N - 1)  # (B, K)
     K = flat.shape[1]
+    budget = _SELECTOR_BUDGET_BYTES
+    selector_bytes = B * K * N * points.dtype.itemsize
+    splits = next((s for s in (1, 2, 4, 8)
+                   if K % s == 0 and selector_bytes // s <= budget), None)
     use_onehot = method == "onehot" or (
         method == "auto" and jax.default_backend() == "tpu"
         and jnp.issubdtype(points.dtype, jnp.floating)
-        and B * K * N * points.dtype.itemsize <= 1_073_741_824)
+        and splits is not None)
     if use_onehot:
-        oh = jax.nn.one_hot(flat, N, dtype=points.dtype)              # (B, K, N)
-        out = jnp.einsum("bkn,bnc->bkc", oh, points)
+        if splits is None or splits == 1:
+            oh = jax.nn.one_hot(flat, N, dtype=points.dtype)          # (B, K, N)
+            out = jnp.einsum("bkn,bnc->bkc", oh, points)
+        else:
+            parts = []
+            for sl in jnp.split(flat, splits, axis=1):
+                oh = jax.nn.one_hot(sl, N, dtype=points.dtype)
+                parts.append(jnp.einsum("bkn,bnc->bkc", oh, points))
+            out = jnp.concatenate(parts, axis=1)
     else:
         out = jnp.take_along_axis(points, flat[:, :, None], axis=1)   # (B, K, C)
     return out.reshape(idx.shape + (C,))

@@ -198,3 +198,25 @@ def test_index_points_onehot_matmul_exact():
         b = index_points(pts, idx, method="onehot")
         assert a.dtype == b.dtype == dtype
         assert bool(jnp.all(a == b))
+
+
+def test_index_points_onehot_split_exact(monkeypatch):
+    """Oversized selectors split into unrolled K-slices: same result (and
+    adjoint) as the single-einsum one-hot and the native gather."""
+    from point_cloud_reid_tpu.ops import geometry
+    rs = np.random.RandomState(1)
+    pts = jnp.asarray(rs.randn(3, 29, 7), jnp.float32)
+    idx = jnp.asarray(rs.randint(0, 29, size=(3, 8, 6)), jnp.int32)
+    ref = geometry.index_points(pts, idx, method="onehot")
+    # selector = 3*48*29*4 = 16.7 KB; a 5 KB budget forces the 4-way split
+    monkeypatch.setattr(geometry, "_SELECTOR_BUDGET_BYTES", 5_000)
+    got = geometry.index_points(pts, idx, method="onehot")
+    assert bool(jnp.all(got == ref))
+    ct = jnp.asarray(rs.randn(3, 8, 6, 7), jnp.float32)
+    g_split = jax.grad(lambda p: jnp.sum(
+        geometry.index_points(p, idx, method="onehot") * ct))(pts)
+    monkeypatch.setattr(geometry, "_SELECTOR_BUDGET_BYTES", 1 << 30)
+    g_one = jax.grad(lambda p: jnp.sum(
+        geometry.index_points(p, idx, method="onehot") * ct))(pts)
+    np.testing.assert_allclose(np.asarray(g_split), np.asarray(g_one),
+                               rtol=1e-6, atol=1e-6)
