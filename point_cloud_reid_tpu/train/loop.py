@@ -57,14 +57,15 @@ def make_train_step(model, tx: optax.GradientTransformation,
     2048-point dense ablations), not for speed. Note the mul=4 forward's own
     working peak exceeds 16 GB at B=1024 with or without remat.
 
-    The step is measured AT the HBM roof (~670 GB/s at B=256,
-    tools/profile_train_table.py) and that traffic is intrinsic — two
-    selective-remat attempts to cut it were measured and rejected: a
-    whole-loss policy checkpoint (save_anything_except_these_names on the
-    grouped (B,S,K,C) tensors) makes every recomputed tensor live at once
-    (37 GB > 16 GB HBM at B=256), and nn.remat around each SA BatchNorm
-    produced bit-identical HLO cost — XLA already avoids storing the f32
-    BN internals.
+    Measured at B=256 flagship: 122 ms / 2,099 samples/s (~0.25 MFU) after
+    the train-scale one-hot gather routing (ops/geometry.index_points; the
+    earlier 184 ms "HBM-roof" reading was a native-gather artifact —
+    tools/profile_gather.py). Two selective-remat attempts were measured
+    and rejected: a whole-loss policy checkpoint (save_anything_except_
+    these_names on the grouped (B,S,K,C) tensors) makes every recomputed
+    tensor live at once (37 GB > 16 GB HBM at B=256), and nn.remat around
+    each SA BatchNorm produced bit-identical HLO cost — XLA already avoids
+    storing the f32 BN internals.
     """
     need_dense = losses_to_use.get("dense", False)
 

@@ -151,6 +151,62 @@ def test_module_gradients_match(vjp):
                                rtol=5e-4, atol=5e-5)
 
 
+def test_full_model_train_step_fused_matches_plain():
+    """Full-model integration: one train step with backbone fused_train=True
+    vs the default produces the same loss/grad-norm and batch stats (the
+    update_stats write-through path on the real model)."""
+    from point_cloud_reid_tpu.models import build_model
+    from point_cloud_reid_tpu.train import (TrainState, build_optimizer,
+                                            make_train_step)
+    from point_cloud_reid_tpu.train.schedules import ScheduleConfig
+
+    cfg = dict(
+        type="ReIDNet",
+        backbone=dict(type="Pointnet_Backbone", input_channels=0,
+                      use_xyz=True, conv_out=8, mul=1, nsample=[4, 4, 4]),
+        match_head=[dict(type="LinearRes", n_in=16, n_out=16, norm="GN",
+                         ng=8),
+                    dict(type="Linear", out_features=1)],
+        cross_stage1=dict(type="corss_attention", d_model=8, nhead=2),
+        cross_stage2=dict(type="corss_attention", d_model=8, nhead=2),
+        match_type="xcorr_eff", pool_type="both", combine="point-cat",
+        backbone_list=[8, 4, 2], output_sequence_size=8, hidden_size=16,
+    )
+    r = jax.random.PRNGKey(0)
+    B, N = 8, 12
+    batch = dict(sparse_1=jax.random.normal(r, (B, N, 3)),
+                 sparse_2=jax.random.normal(jax.random.PRNGKey(1), (B, N, 3)),
+                 label_1=jnp.zeros((B,), jnp.int32),
+                 label_2=jnp.ones((B,), jnp.int32),
+                 id_1=jnp.arange(B, dtype=jnp.int32),
+                 id_2=jnp.arange(B, dtype=jnp.int32) % 3)
+    tx = build_optimizer(ScheduleConfig(max_epochs=1), steps_per_epoch=2)
+
+    logs, stats = [], []
+    for fused in (False, True):
+        c = dict(cfg)
+        c["backbone"] = dict(cfg["backbone"], fused_train=fused)
+        model = build_model(c)
+        state = TrainState.create(model, tx, batch, rng=jax.random.PRNGKey(2))
+        step = jax.jit(make_train_step(model, tx, dict(match=True), {},
+                                       donate=False))
+        new_state, log = step(state, batch, jax.random.PRNGKey(3))
+        logs.append(log)
+        stats.append(new_state.batch_stats)
+    np.testing.assert_allclose(float(logs[1]["reid_loss"]),
+                               float(logs[0]["reid_loss"]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(logs[1]["grad_norm"]),
+                               float(logs[0]["grad_norm"]),
+                               rtol=2e-4, atol=2e-5)
+    fl_f = jax.tree_util.tree_leaves_with_path(stats[1])
+    fl_p = jax.tree_util.tree_leaves_with_path(stats[0])
+    assert [p for p, _ in fl_f] == [p for p, _ in fl_p]
+    for (path, a), (_, b) in zip(fl_f, fl_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=str(path))
+
+
 def test_pop_stats_matches_flax_convention():
     rs = np.random.RandomState(4)
     h = jnp.asarray(rs.randn(3, 5, 4, 8).astype(np.float32) * 2 + 1)
