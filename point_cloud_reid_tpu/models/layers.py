@@ -128,18 +128,23 @@ class ConvBNReLU(nn.Module):
 
     def update_stats(self, mean: jnp.ndarray, var: jnp.ndarray) -> None:
         """Running-stat update for fused paths that bypass `self.bn.__call__`
-        (the custom-VJP SA train chain computes batch mean/var itself).
-        Mirrors flax BatchNorm exactly: ra = momentum*ra + (1-momentum)*batch.
+        (the fused SA train chain computes batch mean/var itself). Mirrors
+        flax BatchNorm exactly: ra = momentum*ra + (1-momentum)*batch, with
+        the same zeros/ones initialization when the variables don't exist
+        yet (params-only apply), and the same error on an immutable
+        batch_stats collection (put_variable raises, as flax BN would).
         """
-        if (self.bn.is_mutable_collection("batch_stats")
-                and self.bn.has_variable("batch_stats", "mean")):
-            m = self.bn.momentum
-            ra_mean = self.bn.get_variable("batch_stats", "mean")
-            ra_var = self.bn.get_variable("batch_stats", "var")
-            self.bn.put_variable("batch_stats", "mean",
-                                 m * ra_mean + (1 - m) * mean)
-            self.bn.put_variable("batch_stats", "var",
-                                 m * ra_var + (1 - m) * var)
+        m = self.bn.momentum
+        ra_mean = (self.bn.get_variable("batch_stats", "mean")
+                   if self.bn.has_variable("batch_stats", "mean")
+                   else jnp.zeros_like(mean))
+        ra_var = (self.bn.get_variable("batch_stats", "var")
+                  if self.bn.has_variable("batch_stats", "var")
+                  else jnp.ones_like(var))
+        self.bn.put_variable("batch_stats", "mean",
+                             m * ra_mean + (1 - m) * mean)
+        self.bn.put_variable("batch_stats", "var",
+                             m * ra_var + (1 - m) * var)
 
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         return self.norm_act(self.conv(x), train=train)

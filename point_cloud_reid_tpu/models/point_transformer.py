@@ -166,7 +166,6 @@ class SetAbstractionEdgeSA(nn.Module):
         kernel = params["kernel"]                                 # (3[+2D], C1)
         bias = params.get("bias")
         dt = self.dtype
-        C = kernel.shape[-1]
         w_d = kernel[:3]
         A = xyz.astype(dt) @ w_d.astype(dt)
         Ct = -new_xyz.astype(dt) @ w_d.astype(dt)
@@ -183,8 +182,8 @@ class SetAbstractionEdgeSA(nn.Module):
         def conv_params(blk):
             p = blk.conv.variables["params"]
             b = p.get("bias")
-            return p["kernel"], (jnp.zeros((C,), jnp.float32) if b is None
-                                 else b)
+            return p["kernel"], (jnp.zeros((p["kernel"].shape[-1],),
+                                           jnp.float32) if b is None else b)
 
         def bn_params(blk):
             p = blk.bn.variables["params"]

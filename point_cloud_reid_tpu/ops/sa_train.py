@@ -93,10 +93,10 @@ def _gather_grouped(points: Array, idx: Array) -> Array:
     A chunked one-hot contraction (selector split over S, lax.scan) was tried
     here to keep oversized selectors on the MXU; measured on TPU it was a
     regression at the flagship train shapes — forward +14 ms / +1.4 TFLOP /
-    +9 GB, full step 251 vs 184 ms — because the per-chunk selectors still
-    round-trip HBM and their matmul FLOPs swamp the gather they replace. The
-    auto policy (one-hot under the 256 MB budget, native gather above) is the
-    measured best at every released shape.
+    +9 GB, full step 251 vs 184 ms — because lax.scan blocks fusion and the
+    stack/transpose copies dominate. index_points' auto policy (one-hot MXU
+    contraction in <=1 GiB selector slices via UNROLLED K-splits, native
+    gather only beyond that) is the measured best at every released shape.
     """
     return index_points(points, idx)
 
@@ -114,17 +114,17 @@ def _fwd_impl(cfg, A, Ct, idx, w2, b2, w3, b3, g1, be1, g2, be2, g3, be3):
     h1 = _gather_h1(A, Ct, idx)                              # (B,S,K,C) dt
     m1, v1 = _pop_stats(h1)
     a1, c1, _, _ = _bn_coeffs(g1, be1, m1, v1, eps)
-    z1 = jnp.maximum(h1.astype(f32) * a1 + c1, 0.0).astype(dt)
+    z1 = jax.nn.relu(h1.astype(f32) * a1 + c1).astype(dt)
 
     h2 = (jnp.dot(z1, w2.astype(dt)) + b2.astype(dt)).astype(dt)
     m2, v2 = _pop_stats(h2)
     a2, c2, _, _ = _bn_coeffs(g2, be2, m2, v2, eps)
-    z2 = jnp.maximum(h2.astype(f32) * a2 + c2, 0.0).astype(dt)
+    z2 = jax.nn.relu(h2.astype(f32) * a2 + c2).astype(dt)
 
     h3 = (jnp.dot(z2, w3.astype(dt)) + b3.astype(dt)).astype(dt)
     m3, v3 = _pop_stats(h3)
     a3, c3, _, _ = _bn_coeffs(g3, be3, m3, v3, eps)
-    z3 = jnp.maximum(h3.astype(f32) * a3 + c3, 0.0).astype(dt)
+    z3 = jax.nn.relu(h3.astype(f32) * a3 + c3).astype(dt)
 
     out = jnp.max(z3, axis=2)                                # (B,S,C) dt
     stats = ((m1, v1), (m2, v2), (m3, v3))

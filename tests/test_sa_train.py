@@ -151,6 +151,30 @@ def test_module_gradients_match(vjp):
                                rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.parametrize("vjp", [True, False])
+def test_params_only_apply_creates_batch_stats(vjp):
+    """Applying with params only (no batch_stats input) must create the same
+    running-stat tree as plain flax BN does on the fly (review finding:
+    update_stats used to silently skip when the variables were absent)."""
+    rs = np.random.RandomState(5)
+    B, N, S, D = 2, 16, 8, 6
+    xyz = jnp.asarray(rs.randn(B, N, 3).astype(np.float32))
+    pts = jnp.asarray(rs.randn(B, N, D).astype(np.float32))
+    fused, plain = _module_pair(D=D, vjp=vjp)
+    v = plain.init(jax.random.PRNGKey(0), xyz, pts, S, train=True)
+    params_only = {"params": v["params"]}
+    _, mut_f = fused.apply(params_only, xyz, pts, S, train=True,
+                           mutable=["batch_stats"])
+    _, mut_p = plain.apply(params_only, xyz, pts, S, train=True,
+                           mutable=["batch_stats"])
+    fl_f = jax.tree_util.tree_leaves_with_path(mut_f)
+    fl_p = jax.tree_util.tree_leaves_with_path(mut_p)
+    assert fl_f and [p for p, _ in fl_f] == [p for p, _ in fl_p]
+    for (path, a), (_, b) in zip(fl_f, fl_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=str(path))
+
+
 def test_full_model_train_step_fused_matches_plain():
     """Full-model integration: one train step with backbone fused_train=True
     vs the default produces the same loss/grad-norm and batch stats (the

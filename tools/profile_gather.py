@@ -10,7 +10,8 @@ question with a clean A/B at the exact edge_split gather shapes
   SA1: points (512, 128, 128), idx (512, 128, 32)  -> (512, 128, 32, 128)
   SA2: points (512, 128, 256), idx (512,  64, 48)  -> (512,  64, 48, 256)
 
-strategies: native take_along_axis | single one-hot einsum (budget ignored)
+strategies: native take_along_axis | one-hot einsum (method='onehot'; at
+these shapes a single un-split selector)
 directions: forward | vjp (scatter-add via jax.grad)
 
 Prints one JSON line per (shape, strategy, direction): ms, XLA bytes/flops,

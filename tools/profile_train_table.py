@@ -62,7 +62,8 @@ def main():
     from point_cloud_reid_tpu.train.losses import reid_losses
     from point_cloud_reid_tpu.train.schedules import ScheduleConfig
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    B = int(pos[0]) if pos else 256
     N = 128
     cfg = get_experiment("pts_point-transformer_point-cat_nus_det_4x256_500e")
     if "--fused" in sys.argv:
