@@ -63,24 +63,42 @@ def main():
     from point_cloud_reid_tpu.train.schedules import ScheduleConfig
 
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-    B = int(pos[0]) if pos else 256
+    image = "--image" in sys.argv
+    B = int(pos[0]) if pos else (60 if image else 256)
     N = 128
-    cfg = get_experiment("pts_point-transformer_point-cat_nus_det_4x256_500e")
-    if "--fused" in sys.argv:
-        cfg["model"]["backbone"]["fused_train"] = True
-    if "--no-vjp" in sys.argv:
-        cfg["model"]["backbone"]["fused_train_vjp"] = False
-    model = build_model(cfg["model"], dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    batch = dict(
-        sparse_1=jax.random.normal(rng, (B, N, 3)),
-        sparse_2=jax.random.normal(jax.random.PRNGKey(1), (B, N, 3)),
-        label_1=jnp.zeros((B,), jnp.int32),
-        label_2=(jnp.arange(B, dtype=jnp.int32) % 2),
-        id_1=jnp.arange(B, dtype=jnp.int32),
-        id_2=jnp.arange(B, dtype=jnp.int32) % 7,
-    )
-    losses = dict(match=True, kl=True, triplet=True)
+    if image:
+        # reference image training scale: 4 GPUs x 60/GPU, DeiT-tiny
+        # (configs_reid/reid_nuscenes_image/training_base.py:6)
+        cfg = get_experiment("rgb_deit-tiny_point-cat_pt_nus_det_4x60_200e")
+        model = build_model(cfg["model"], dtype=jnp.bfloat16)
+        batch = dict(
+            sparse_1=jax.random.normal(rng, (B, 3, 224, 224)),
+            sparse_2=jax.random.normal(jax.random.PRNGKey(1),
+                                       (B, 3, 224, 224)),
+            label_1=jnp.zeros((B,), jnp.int32),
+            label_2=(jnp.arange(B, dtype=jnp.int32) % 2),
+            id_1=jnp.arange(B, dtype=jnp.int32),
+            id_2=jnp.arange(B, dtype=jnp.int32) % 7,
+        )
+        losses = dict(match=True)
+    else:
+        cfg = get_experiment(
+            "pts_point-transformer_point-cat_nus_det_4x256_500e")
+        if "--fused" in sys.argv:
+            cfg["model"]["backbone"]["fused_train"] = True
+        if "--no-vjp" in sys.argv:
+            cfg["model"]["backbone"]["fused_train_vjp"] = False
+        model = build_model(cfg["model"], dtype=jnp.bfloat16)
+        batch = dict(
+            sparse_1=jax.random.normal(rng, (B, N, 3)),
+            sparse_2=jax.random.normal(jax.random.PRNGKey(1), (B, N, 3)),
+            label_1=jnp.zeros((B,), jnp.int32),
+            label_2=(jnp.arange(B, dtype=jnp.int32) % 2),
+            id_1=jnp.arange(B, dtype=jnp.int32),
+            id_2=jnp.arange(B, dtype=jnp.int32) % 7,
+        )
+        losses = dict(match=True, kl=True, triplet=True)
     tx = build_optimizer(ScheduleConfig(max_epochs=1), steps_per_epoch=100)
     state = TrainState.create(model, tx, batch, rng=jax.random.PRNGKey(2))
     step = make_train_step(model, tx, losses_to_use=losses, alpha={},
@@ -124,17 +142,19 @@ def main():
           (state.params, state.batch_stats, batch, jax.random.PRNGKey(3)))
 
     # embed-only forward at the siamese batch (2B crops through the backbone)
-    def embed2b(params, batch_stats, b):
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-        pts = jnp.concatenate([b["sparse_1"], b["sparse_2"]], axis=0)
-        out, _ = model.apply(variables, pts, train=True,
-                             mutable=["batch_stats"], method="embed")
-        return out[1]
+    if not image:
+        # embed-only applies to the point backbone (method='embed')
+        def embed2b(params, batch_stats, b):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            pts = jnp.concatenate([b["sparse_1"], b["sparse_2"]], axis=0)
+            out, _ = model.apply(variables, pts, train=True,
+                                 mutable=["batch_stats"], method="embed")
+            return out[1]
 
-    bench(f"embed_train_2B{2 * B}", jax.jit(embed2b),
-          (state.params, state.batch_stats, batch))
+        bench(f"embed_train_2B{2 * B}", jax.jit(embed2b),
+              (state.params, state.batch_stats, batch))
 
 
 if __name__ == "__main__":
