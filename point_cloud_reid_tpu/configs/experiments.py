@@ -281,7 +281,13 @@ def apply_overrides(cfg: Dict[str, Any], assignments) -> Dict[str, Any]:
         leaf = keys[-1]
         val = parse_val(raw.strip())
         if isinstance(node, dict):
-            if leaf not in node:
+            # Existing keys are replaced; NEW leaf keys are allowed when the
+            # parent is a component dict (has a 'type'), because builders
+            # read optional knobs via cfg.get() that factories never
+            # materialize (fused_train, pallas_inference, knn_method, ...) —
+            # mmcv --cfg-options semantics. Unknown leaves elsewhere still
+            # raise to catch typos, as does a missing intermediate path.
+            if leaf not in node and "type" not in node:
                 raise KeyError(f"unknown config key {path!r} "
                                f"(no {leaf!r} in {sorted(node)})")
             node[leaf] = val

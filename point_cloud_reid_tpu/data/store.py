@@ -166,12 +166,20 @@ class CropStore:
         stored = rec.crop_size or self.crop_size
         try:
             im = np.fromfile(path, dtype=np.float32).reshape((3,) + tuple(stored))
-            if tuple(im.shape[1:]) != self.crop_size:
-                # reshape by the stored size, crop to the target — the
-                # reference's oversize-crop handling (object_loader_base.py:285-287)
-                im = im[:, :self.crop_size[0], :self.crop_size[1]]
         except (FileNotFoundError, ValueError):
-            im = np.zeros((3,) + self.crop_size, dtype=np.float32)
+            return np.zeros((3,) + self.crop_size, dtype=np.float32)
+        if tuple(im.shape[1:]) != self.crop_size:
+            # reshape by the stored size, crop to the target — the
+            # reference's oversize-crop handling (object_loader_base.py:285-287).
+            # Undersized crops fail fast (outside the zeros-fallback try): a
+            # silent slice would emit a ragged array that breaks the
+            # fixed-shape batch far from here.
+            if (im.shape[1] < self.crop_size[0]
+                    or im.shape[2] < self.crop_size[1]):
+                raise ValueError(
+                    f"stored crop {im.shape[1:]} for {obj_id}/{frame} is "
+                    f"smaller than loader crop_size {self.crop_size}")
+            im = im[:, :self.crop_size[0], :self.crop_size[1]]
         return im
 
 

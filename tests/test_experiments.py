@@ -67,9 +67,19 @@ def test_apply_overrides_round_trip():
     assert model.combine == "cat"
     assert model.backbone["mul"] == 2
 
-    # unknown keys fail loudly instead of creating dead config
+    # component dicts (they carry a 'type') accept NEW optional knobs that
+    # the factories never materialize but builders read via cfg.get() —
+    # e.g. the fused-train opt-in must round-trip into the built module
+    cfg2 = E.get_experiment(name, set_options=[
+        "model.backbone.fused_train=true"])
+    assert cfg2["model"]["backbone"]["fused_train"] is True
+    assert build_model(cfg2["model"]).backbone["fused_train"] is True
+
+    # unknown keys on non-component dicts / missing paths still fail loudly
     with pytest.raises(KeyError):
-        E.get_experiment(name, set_options=["model.not_a_key=1"])
+        E.get_experiment(name, set_options=["dataset.not_a_key=1"])
+    with pytest.raises((KeyError, TypeError)):
+        E.get_experiment(name, set_options=["not_a_section.x=1"])
     with pytest.raises(ValueError):
         E.get_experiment(name, set_options=["model.combine"])
 

@@ -295,7 +295,7 @@ def test_pairscorer_fused_backbone_interpret_matches_xla():
     _np.testing.assert_allclose(_np.asarray(h_t), _np.asarray(h_tr),
                                 rtol=2e-4, atol=2e-5)
     x_d, h_d = xla.embed(dets)
-    ref = xla.cost_matrix(x_tr if False else h_tr, x_tr, h_d, x_d, pad=True)
+    ref = xla.cost_matrix(h_tr, x_tr, h_d, x_d, pad=True)
     out = scorer.cost_matrix(h_t, x_t, h_d, x_d, pad=True)
     _np.testing.assert_allclose(_np.asarray(out), _np.asarray(ref),
                                 rtol=2e-4, atol=2e-5)

@@ -9,51 +9,23 @@ line per program: ms + XLA flops/bytes.
 """
 from __future__ import annotations
 
-import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
-os.makedirs("/root/.cache/jax_comp_tpu", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from _bench import bench as _bench_row
+from _bench import setup_cache
 
-
-def _sync(x):
-    return float(jnp.sum(x))
+setup_cache()
 
 
 def bench(name, fn, *args, n=30):
-    jitted = jax.jit(fn)
-    compiled = jitted.lower(*args).compile()
-    cost = {}
-    try:
-        c = compiled.cost_analysis()
-        if isinstance(c, (list, tuple)):
-            c = c[0]
-        cost = dict(flops=c.get("flops"), bytes=c.get("bytes accessed"))
-    except Exception:
-        pass
-    out = compiled(*args)
-    first = jax.tree_util.tree_leaves(out)[0]
-    _sync(first)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = compiled(*args)
-    first = jax.tree_util.tree_leaves(out)[0]
-    _sync(first)
-    dt = (time.perf_counter() - t0) / n
-    fl, by = cost.get("flops") or 0, cost.get("bytes") or 0
-    print(json.dumps(dict(
-        name=name, ms=round(dt * 1e3, 3),
-        GB=round(by / 1e9, 3), gflops=round(fl / 1e9, 2),
-        tflops_per_s=round(fl / dt / 1e12, 1) if fl else None,
-        gb_per_s=round(by / dt / 1e9, 1) if by else None)), flush=True)
+    """Thin shim keeping this tool's (fn, *args) -> out call shape."""
+    _, out = _bench_row(name, fn, args, n=n)
     return out
 
 

@@ -20,10 +20,8 @@ through the axon tunnel, CLAUDE.md).
 """
 from __future__ import annotations
 
-import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -31,38 +29,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-os.makedirs("/root/.cache/jax_comp_tpu", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from _bench import bench, setup_cache
+
+setup_cache()
 
 from point_cloud_reid_tpu.ops.geometry import index_points
-
-
-def _cost(compiled):
-    try:
-        c = compiled.cost_analysis()
-        if isinstance(c, (list, tuple)):
-            c = c[0]
-        return float(c.get("flops", 0)), float(c.get("bytes accessed", 0))
-    except Exception:
-        return 0.0, 0.0
-
-
-def bench(name, fn, args, n=20):
-    jitted = jax.jit(fn)
-    compiled = jitted.lower(*args).compile()
-    fl, by = _cost(compiled)
-    out = compiled(*args)
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = compiled(*args)
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-    dt = (time.perf_counter() - t0) / n
-    print(json.dumps(dict(
-        name=name, ms=round(dt * 1e3, 3),
-        GB=round(by / 1e9, 3), gflops=round(fl / 1e9, 2),
-        gb_per_s=round(by / dt / 1e9, 1))), flush=True)
 
 
 def main():

@@ -11,47 +11,17 @@ One JSON line per program.
 """
 from __future__ import annotations
 
-import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
-os.makedirs("/root/.cache/jax_comp_tpu", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from _bench import bench, setup_cache
 
-
-def _cost(compiled):
-    try:
-        c = compiled.cost_analysis()
-        if isinstance(c, (list, tuple)):
-            c = c[0]
-        return float(c.get("flops", 0)), float(c.get("bytes accessed", 0))
-    except Exception:
-        return 0.0, 0.0
-
-
-def bench(name, jitted, args, n=20, sync=lambda out: out):
-    compiled = jitted.lower(*args).compile()
-    fl, by = _cost(compiled)
-    out = compiled(*args)
-    float(jnp.sum(sync(out)))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = compiled(*args)
-    float(jnp.sum(sync(out)))
-    dt = (time.perf_counter() - t0) / n
-    print(json.dumps(dict(
-        name=name, ms=round(dt * 1e3, 2),
-        flops_T=round(fl / 1e12, 3), bytes_GB=round(by / 1e9, 2),
-        tflops_per_s=round(fl / dt / 1e12, 1) if fl else None,
-        gb_per_s=round(by / dt / 1e9, 1) if by else None)), flush=True)
-    return dt
+setup_cache()
 
 
 def main():
@@ -103,7 +73,7 @@ def main():
     state = TrainState.create(model, tx, batch, rng=jax.random.PRNGKey(2))
     step = make_train_step(model, tx, losses_to_use=losses, alpha={},
                            donate=False)
-    bench(f"train_step_B{B}", jax.jit(step),
+    bench(f"train_step_B{B}", step,
           (state, batch, jax.random.PRNGKey(3)),
           sync=lambda out: out[1]["reid_loss"])
 
@@ -138,7 +108,7 @@ def main():
                               pool_type=model.pool_type)
         return loss
 
-    bench(f"forward_loss_B{B}", jax.jit(fwd_loss),
+    bench(f"forward_loss_B{B}", fwd_loss,
           (state.params, state.batch_stats, batch, jax.random.PRNGKey(3)))
 
     # embed-only forward at the siamese batch (2B crops through the backbone)
@@ -153,7 +123,7 @@ def main():
                                  mutable=["batch_stats"], method="embed")
             return out[1]
 
-        bench(f"embed_train_2B{2 * B}", jax.jit(embed2b),
+        bench(f"embed_train_2B{2 * B}", embed2b,
               (state.params, state.batch_stats, batch))
 
 
