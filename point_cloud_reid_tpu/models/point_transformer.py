@@ -20,8 +20,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops import sample_and_group_edge, sample_and_group_all
-from ..ops.geometry import (farthest_point_sample, index_points, knn_indices,
-                            query_ball_point, random_point_sample)
+from ..ops.geometry import (conv1_edge_factors, farthest_point_sample,
+                            index_points, knn_indices, query_ball_point,
+                            random_point_sample)
 from .attention_blocks import FPSA, SelfAttentionBlock
 from .layers import ConvBNReLU
 
@@ -32,14 +33,13 @@ class SetAbstractionEdgeSA(nn.Module):
     The first MLP layer is applied in FACTORED form when features are present
     (edge_split=True, the default): the edge tensor
     [dxyz || center || grouped-center] is never materialized — conv1 is
-    linear, so its kernel splits into per-block matmuls
-
-        out1 = dxyz @ W_d  +  gather(points @ W_g)  +  center @ (W_c - W_g) + b
-
-    and the expensive grouped projection becomes a per-POINT matmul followed
-    by a gather (K-times fewer MACs; at the flagship's SA3 widths, 434 -> 105
-    GFLOP for the layer). Exact up to float reassociation — equality pinned
-    by tests/test_models.py::test_sa_edge_split_matches_materialized.
+    linear, so it splits into a per-POINT factor A and a per-CENTER term Ct
+    with out1[b,s,k] = A[b, idx[b,s,k]] + Ct[b,s]
+    (ops.geometry.conv1_edge_factors, shared with the pallas sa_stage kernel
+    so the algebra cannot drift between paths). K-times fewer MACs (flagship
+    SA3: 434 -> 105 GFLOP) and ONE C1-wide gather per stage. Exact up to
+    float reassociation — equality pinned by
+    tests/test_models.py::test_sa_edge_split_matches_materialized.
     """
 
     mlp: Sequence[int]          # [in, h1, h2, h3]; in gets +3 when use_xyz
@@ -163,21 +163,10 @@ class SetAbstractionEdgeSA(nn.Module):
         blk0 = blocks[0]
         fps_idx, new_xyz, idx = self._centers_and_idx(xyz, numpoints)
         params = blk0.conv.variables["params"]
-        kernel = params["kernel"]                                 # (3[+2D], C1)
-        bias = params.get("bias")
         dt = self.dtype
-        w_d = kernel[:3]
-        A = xyz.astype(dt) @ w_d.astype(dt)
-        Ct = -new_xyz.astype(dt) @ w_d.astype(dt)
-        if points is not None:
-            D = points.shape[-1]
-            w_c = kernel[3:3 + D]
-            w_g = kernel[3 + D:]
-            A = A + points.astype(dt) @ w_g.astype(dt)
-            Ct = Ct + (index_points(points, fps_idx).astype(dt)
-                       @ (w_c - w_g).astype(dt))
-        if bias is not None:
-            Ct = Ct + bias.astype(dt)
+        A, Ct = conv1_edge_factors(
+            params["kernel"], params.get("bias"), xyz, points, new_xyz,
+            None if points is None else index_points(points, fps_idx), dt)
 
         def conv_params(blk):
             p = blk.conv.variables["params"]
@@ -208,20 +197,11 @@ class SetAbstractionEdgeSA(nn.Module):
             blk0.conv(jnp.zeros((1, 3 + 2 * D), points.dtype))
         fps_idx, new_xyz, idx = self._centers_and_idx(xyz, numpoints)
 
-        kernel = blk0.conv.variables["params"]["kernel"]          # (3+2D, C1)
-        w_d = kernel[:3]
-        w_c = kernel[3:3 + D]
-        w_g = kernel[3 + D:]
-        bias = blk0.conv.variables["params"]["bias"]
-        dt = self.dtype
-        grouped_xyz = index_points(xyz, idx)                      # (B, S, K, 3)
-        dxyz = (grouped_xyz - new_xyz[:, :, None, :]).astype(dt)
-        proj_g = points.astype(dt) @ w_g.astype(dt)               # (B, N, C1)
-        proj_c = points.astype(dt) @ (w_c - w_g).astype(dt)
-        out1 = (dxyz @ w_d.astype(dt)
-                + index_points(proj_g, idx)
-                + index_points(proj_c, fps_idx)[:, :, None, :]
-                + bias.astype(dt))
+        p = blk0.conv.variables["params"]
+        A, Ct = conv1_edge_factors(
+            p["kernel"], p.get("bias"), xyz, points, new_xyz,
+            index_points(points, fps_idx), self.dtype)
+        out1 = index_points(A, idx) + Ct[:, :, None, :]
         return new_xyz, blk0.norm_act(out1, train=train)
 
 

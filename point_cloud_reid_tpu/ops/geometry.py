@@ -300,6 +300,40 @@ def interpolate_idw(unknown: jnp.ndarray, known: jnp.ndarray, features: jnp.ndar
     return three_interpolate(features, idx, weight)
 
 
+def conv1_edge_factors(kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
+                       xyz: jnp.ndarray, points: Optional[jnp.ndarray],
+                       center_xyz: jnp.ndarray,
+                       center_points: Optional[jnp.ndarray], dt):
+    """Per-point / per-center factors of the SA stage's first conv over the
+    edge features [dxyz || center_feat || grouped_feat - center_feat]
+    (reference layout: pointnet2_utils.py:242-288). conv1 is linear, so with
+    the kernel split into the three row blocks W_d / W_c / W_g:
+
+        conv1(edge)[b, s, k] = A[b, idx[b, s, k]] + Ct[b, s]
+        A  = xyz @ W_d + points @ W_g                  # (B, N, C1) per-POINT
+        Ct = -center_xyz @ W_d
+             + center_points @ (W_c - W_g) + bias      # (B, S, C1) per-CENTER
+
+    The grouped edge tensor is never materialized and the only grouped op is
+    ONE C1-wide gather of A (K-times fewer MACs than convolving the edges;
+    shared by SetAbstractionEdgeSA's edge_split/fused-train paths and the
+    pallas sa_stage kernel so the algebra cannot drift between them).
+    Exact up to float reassociation.
+    """
+    w_d = kernel[:3]
+    A = xyz.astype(dt) @ w_d.astype(dt)
+    Ct = -(center_xyz.astype(dt) @ w_d.astype(dt))
+    if points is not None:
+        D = points.shape[-1]
+        w_c = kernel[3:3 + D]
+        w_g = kernel[3 + D:]
+        A = A + points.astype(dt) @ w_g.astype(dt)
+        Ct = Ct + center_points.astype(dt) @ (w_c - w_g).astype(dt)
+    if bias is not None:
+        Ct = Ct + bias.astype(dt)
+    return A, Ct
+
+
 def sample_and_group_edge(
     nsample: int,
     xyz: jnp.ndarray,

@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..geometry import conv1_edge_factors
+
 
 def _kernel(a_ref, ct_ref, idx_ref, w2_ref, w3_ref,
             s1_ref, t1_ref, s2_ref, t2_ref, s3_ref, t3_ref,
@@ -153,22 +155,11 @@ def sa_stage_inference(xyz: jnp.ndarray, points: Optional[jnp.ndarray],
 
     k1 = params["mlp_0"]["conv"]["kernel"]             # (3[+2D], C)
     b1 = params["mlp_0"]["conv"].get("bias")
-    w_d = k1[:3]
-    if points is not None:
-        D = points.shape[-1]
-        w_c = k1[3:3 + D]
-        w_g = k1[3 + D:]
-        A = (xyz.astype(dt) @ w_d.astype(dt)
-             + points.astype(dt) @ w_g.astype(dt))
-        Ct = points[:, cidx].astype(dt) @ (w_c - w_g).astype(dt)
-    else:
-        A = xyz.astype(dt) @ w_d.astype(dt)
-        Ct = jnp.zeros((B, S, A.shape[-1]), dt)
-    Ct = Ct - xyz[:, cidx].astype(dt) @ w_d.astype(dt)
+    A, Ct = conv1_edge_factors(
+        k1, b1, xyz, points, xyz[:, cidx],
+        None if points is None else points[:, cidx], dt)
 
     s1, t1 = bn_affine(0, None)
-    if b1 is not None:
-        Ct = Ct + b1.astype(dt)
     s2, t2 = bn_affine(1, params["mlp_1"]["conv"].get("bias"))
     s3, t3 = bn_affine(2, params["mlp_2"]["conv"].get("bias"))
 
