@@ -82,12 +82,18 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray,
     K = flat.shape[1]
     budget = _SELECTOR_BUDGET_BYTES
     selector_bytes = B * K * N * points.dtype.itemsize
-    splits = next((s for s in (1, 2, 4, 8)
+    splits = next((s for s in (1, 2, 4, 8, 16, 32, 64)
                    if K % s == 0 and selector_bytes // s <= budget), None)
+    # One-hot arithmetic intensity is ~N FLOP/byte of output: compute-bound
+    # past N ~ 2048 on v5e (59 TFLOP/s 64-wide vs ~700 GB/s), where the
+    # native gather catches up — keep auto on the matmul path only for
+    # N <= 4096. The generous split ceiling matters under multi-chip DP:
+    # jit traces GLOBAL shapes, so a pod-scale batch must still pick the
+    # one-hot path (GSPMD then partitions each split einsum per-device).
     use_onehot = method == "onehot" or (
         method == "auto" and jax.default_backend() == "tpu"
         and jnp.issubdtype(points.dtype, jnp.floating)
-        and splits is not None)
+        and splits is not None and N <= 4096)
     if use_onehot:
         if splits is None or splits == 1:
             oh = jax.nn.one_hot(flat, N, dtype=points.dtype)          # (B, K, N)
