@@ -78,9 +78,10 @@ def test_dp_train_step_invariant_to_sharding():
     l2 = jax.tree_util.tree_leaves(jax.device_get(s_mesh.params))
     for a, b in zip(l1, l2):
         # Adam normalizes gradients, amplifying f32 reduction-order noise:
-        # collective (tree) reduction vs single-device row order
+        # collective (tree) reduction vs single-device row order (atol sized
+        # for the shared-A/Ct edge factoring's reassociation)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-3, atol=5e-4)
+                                   rtol=2e-3, atol=1e-3)
 
 
 def test_pair_sharded_cost_matrix_matches_unsharded():
