@@ -118,15 +118,21 @@ class BatchLoader:
                 if stop.is_set():
                     return
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                if use_batch_load:
-                    # whole batch read+resampled by the C++ thread pool in
-                    # one call (GIL released) — the training-input fast path
-                    batch = self.dataset.sample_batch(idxs)
-                else:
-                    batch = collate_pairs([self.dataset.sample(int(i))
-                                           for i in idxs])
-                if self.transform is not None:
-                    batch = self.transform(batch)
+                try:
+                    if use_batch_load:
+                        # whole batch read+resampled by the C++ thread pool
+                        # in one call (GIL released) — the training fast path
+                        batch = self.dataset.sample_batch(idxs)
+                    else:
+                        batch = collate_pairs([self.dataset.sample(int(i))
+                                               for i in idxs])
+                    if self.transform is not None:
+                        batch = self.transform(batch)
+                except BaseException as e:   # propagate instead of deadlock:
+                    # a dead worker would leave the consumer blocked on
+                    # q.get() forever waiting for this batch index
+                    q.put((b, e))
+                    return
                 q.put((b, batch))
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
@@ -140,6 +146,11 @@ class BatchLoader:
             while got < nb:
                 while want not in pending:
                     b, batch = q.get()
+                    if isinstance(batch, BaseException):
+                        # the failed worker produces none of its later
+                        # batches either — abort now, in-order delivery
+                        # can never complete
+                        raise batch
                     pending[b] = batch
                 yield pending.pop(want)
                 want += 1
