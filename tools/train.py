@@ -44,6 +44,10 @@ def parse_args(argv=None):
                    help="global batch; default samples_per_device * n_devices")
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--synthetic-objects", type=int, default=60)
+    p.add_argument("--loader-threads", type=int, default=None,
+                   help="BatchLoader worker threads (default: one per mesh "
+                        "device, min 2 — the native read pool scales past "
+                        "the per-thread planning rate)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in backward "
                         "(jax.checkpoint) — fits ~4x larger per-chip batches")
@@ -98,10 +102,13 @@ def build_all(cfg, args):
     batch = max(n_dev, min(batch, max(len(train_ds) // 2, n_dev)))
     batch -= batch % n_dev
 
+    # one loader thread per chip keeps an N-chip DP step fed (the reference
+    # uses workers_per_gpu subprocesses, apis/train.py:37)
+    threads = args.loader_threads or max(2, n_dev)
     train_loader = BatchLoader(train_ds, batch_size=batch, shuffle=True,
-                               seed=args.seed)
+                               seed=args.seed, num_threads=threads)
     val_loader = BatchLoader(val_ds, batch_size=batch, shuffle=False,
-                             drop_last=True)
+                             drop_last=True, num_threads=threads)
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = build_model(cfg["model"], dtype=dtype)
