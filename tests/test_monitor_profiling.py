@@ -1,0 +1,76 @@
+"""Monitor + profiling coverage: the UpdateParam/GradMonitor equivalent
+(make_train_step(monitor=True), core/hooks/update_monitors_hook.py:5-63) and
+the tracing utilities that replace the reference's verbose wall-clock prints
+(ReIDNet.py:722-736; SURVEY.md §5.1)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from point_cloud_reid_tpu.configs import get_experiment
+from point_cloud_reid_tpu.models import build_model
+from point_cloud_reid_tpu.train import TrainState, build_optimizer, \
+    make_train_step
+from point_cloud_reid_tpu.train.schedules import ScheduleConfig
+from point_cloud_reid_tpu.utils.profiling import StepTimer, trace_context
+
+
+def _tiny_batch(B=4, N=16):
+    rng = jax.random.PRNGKey(0)
+    return dict(
+        sparse_1=jax.random.normal(rng, (B, N, 3)),
+        sparse_2=jax.random.normal(jax.random.PRNGKey(1), (B, N, 3)),
+        label_1=jnp.zeros((B,), jnp.int32),
+        label_2=(jnp.arange(B, dtype=jnp.int32) % 2),
+        id_1=jnp.arange(B, dtype=jnp.int32),
+        id_2=jnp.arange(B, dtype=jnp.int32) % 3,
+    )
+
+
+def test_train_step_monitor_norms():
+    cfg = get_experiment("pts_point-transformer_point-cat_nus_det_4x256_500e")
+    mcfg = dict(cfg["model"])
+    mcfg["backbone"] = dict(mcfg["backbone"], mul=1)
+    mcfg["backbone_list"] = [8, 4, 2]
+    model = build_model(mcfg)
+    batch = _tiny_batch()
+    tx = build_optimizer(ScheduleConfig(max_epochs=1), steps_per_epoch=2)
+    state = TrainState.create(model, tx, batch, rng=jax.random.PRNGKey(2))
+
+    step = make_train_step(model, tx, losses_to_use=dict(match=True),
+                           alpha={}, donate=False, monitor=True)
+    _, log = step(state, batch, jax.random.PRNGKey(3))
+    for k in ("grad_norm", "param_norm", "update_norm"):
+        v = float(log[k])
+        assert np.isfinite(v) and v > 0, (k, v)
+
+    # monitor off -> the extra norms are not computed
+    plain = make_train_step(model, tx, losses_to_use=dict(match=True),
+                            alpha={}, donate=False)
+    _, log2 = plain(state, batch, jax.random.PRNGKey(3))
+    assert "param_norm" not in log2 and "update_norm" not in log2
+    assert "grad_norm" in log2
+
+
+def test_step_timer_stats():
+    t = StepTimer()
+    for _ in range(5):
+        t.start()
+        x = jnp.ones((8, 8)) * 2.0
+        t.stop(x)
+    assert len(t.times) == 5
+    assert t.mean > 0
+    assert t.percentile(50) <= t.percentile(100)
+    assert t.percentile(0) <= t.mean * 5
+
+
+def test_trace_context(tmp_path):
+    with trace_context(None):     # no-op path
+        pass
+    log_dir = str(tmp_path / "trace")
+    with trace_context(log_dir):
+        jnp.dot(jnp.ones((16, 16)), jnp.ones((16, 16))).block_until_ready()
+    # a profile dump was written under the log dir
+    found = [f for _, _, files in os.walk(log_dir) for f in files]
+    assert found, "trace_context produced no profile artifacts"
