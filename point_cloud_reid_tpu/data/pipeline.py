@@ -51,11 +51,11 @@ class BatchLoader:
 
     The reference uses worker subprocesses (workers_per_gpu, apis/train.py:37);
     here pair selection is numpy-cheap metadata work and the heavy part —
-    reading + resampling B*2 crops — runs through the dataset's
-    `sample_batch` when it supports it: ONE call into the native C++ thread
-    pool per batch (point_cloud_reid_tpu/native, GIL released). Datasets
-    without the batch path (synthetic/in-memory, image mode, dense tensors
-    on) fall back to per-item sampling + collate.
+    reading + resampling B*2 crops (or reading B*2 image blobs) — runs
+    through the dataset's `sample_batch` when it supports it: ONE call into
+    the native C++ thread pool per batch (point_cloud_reid_tpu/native, GIL
+    released). Datasets without the batch path (synthetic/in-memory, dense
+    tensors on) fall back to per-item sampling + collate.
 
     Args:
         dataset: PairDataset/ValEvenPairs.

@@ -306,10 +306,13 @@ class PairDataset:
     @property
     def supports_batch_load(self) -> bool:
         """True when sample_batch can take the batched native-reader path:
-        point mode, no dense tensors (their RNG rides the per-item stream),
-        an on-disk store with the batch entry point, full-file reads."""
-        return (self.mode == "points" and not self.with_dense
-                and hasattr(self.store, "load_point_batch")
+        no dense tensors (their RNG rides the per-item stream), an on-disk
+        store with the matching batch entry point, full-file reads."""
+        if self.with_dense:
+            return False
+        if self.mode == "image":
+            return hasattr(self.store, "load_image_batch")
+        return (hasattr(self.store, "load_point_batch")
                 and getattr(self.store, "load_fraction", 1.0) == 1.0)
 
     def sample_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
@@ -330,12 +333,22 @@ class PairDataset:
         plans = [self._plan(int(i)) for i in indices]
         pairs = [(p["tok1"], p["f1"]) for p in plans] + \
                 [(p["tok2"], p["f2"]) for p in plans]
-        idx = np.asarray(list(indices), dtype=np.int64)
-        seeds = np.concatenate(
-            [_mix_words(self.seed, self.epoch, idx, slot) for slot in (1, 2)])
-        pts, counts = self.store.load_point_batch(
-            pairs, self.subsample_sparse, seeds)
         B = len(plans)
+        if self.mode == "image":
+            # images need no resample RNG; sizes carry the crops' true LiDAR
+            # point counts like the per-item path (_item sizes=...)
+            pts, _ok = self.store.load_image_batch(pairs)
+            counts = np.asarray(
+                [self._num_pts(p["tok1"], p["f1"]) for p in plans]
+                + [self._num_pts(p["tok2"], p["f2"]) for p in plans],
+                np.int32)
+        else:
+            idx = np.asarray(list(indices), dtype=np.int64)
+            seeds = np.concatenate(
+                [_mix_words(self.seed, self.epoch, idx, slot)
+                 for slot in (1, 2)])
+            pts, counts = self.store.load_point_batch(
+                pairs, self.subsample_sparse, seeds)
         batch = dict(
             sparse_1=pts[:B], sparse_2=pts[B:],
             label_1=np.asarray([p["l1"] for p in plans], np.int32),

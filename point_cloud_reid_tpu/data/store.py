@@ -158,6 +158,37 @@ class CropStore:
         paths = [self.points_path(o, f) for o, f in pairs]
         return native.load_point_batch(paths, k, seeds)
 
+    def load_image_batch(self, pairs) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched native read of many (obj, frame) img_crop.bin blobs.
+
+        Returns ((B, 3, H, W) float32 at the loader crop_size, (B,) int32 ok
+        flags; -1 = missing/short file, loaded as zeros — the reference's
+        soft-failure semantics, object_loader_base.py:289-295). Records whose
+        STORED crop size differs from the loader's are grouped per stored
+        size, read at that size, and sliced like load_image (oversize crops
+        truncate, object_loader_base.py:285-287; undersized raise)."""
+        from .. import native
+        H, W = self.crop_size
+        out = np.zeros((len(pairs), 3, H, W), np.float32)
+        ok = np.full((len(pairs),), -1, np.int32)
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for b, (o, f) in enumerate(pairs):
+            stored = self.objects[o].crop_size or self.crop_size
+            groups.setdefault(tuple(stored), []).append(b)
+        for stored, idxs in groups.items():
+            if stored[0] < H or stored[1] < W:
+                o, f = pairs[idxs[0]]
+                raise ValueError(
+                    f"stored crop {stored} for {o}/{f} is smaller than "
+                    f"loader crop_size {self.crop_size}")
+            paths = [os.path.join(
+                self._frame_dir(self.objects[pairs[b][0]], pairs[b][1]),
+                "img_crop.bin") for b in idxs]
+            blobs, g_ok = native.load_blob_batch(paths, (3,) + stored)
+            out[idxs] = blobs[:, :, :H, :W]
+            ok[idxs] = g_ok
+        return out, ok
+
     def load_image(self, obj_id: str, frame: str) -> np.ndarray:
         """(3, H, W) float32 image crop; zeros when the crop file is missing
         (object_loader_base.py:289-295)."""
@@ -291,7 +322,11 @@ class SyntheticStore:
                 class_name=(class_names[cls] if class_names is not None
                             else f"class_{cls}"),
                 path=tok,
-                num_pts=num_pts, visibility=vis, distance=dist)
+                num_pts=num_pts, visibility=vis, distance=dist,
+                # image exports record their stored crop size (the importer
+                # does the same, import_reference.py) so a loader with a
+                # smaller crop_size slices instead of zeroing
+                crop_size=(self.crop_size if with_images else None))
             self._complete[tok] = (base + rng.randn(64, 3) * 0.02).astype(
                 np.float32)
         self.token_to_int = {tok: i for i, tok in enumerate(sorted(self.objects))}

@@ -179,3 +179,54 @@ def test_val_even_sample_batch(tmp_path):
     ref = collate_pairs([ds.sample(i) for i in idxs])
     for k in ("label_1", "label_2", "id_1", "id_2", "size_1", "size_2"):
         np.testing.assert_array_equal(batch[k], ref[k], err_msg=k)
+
+
+def test_image_sample_batch_matches_per_item(tmp_path):
+    """Image-mode batched path: bit-exact vs per-item (no resample RNG),
+    true LiDAR point counts in size_*, zeros for missing crops."""
+    from point_cloud_reid_tpu.data import (CropStore, PairDataset,
+                                           SyntheticStore, collate_pairs)
+    syn = SyntheticStore(num_objects=24, frames_per_obj=4, seed=6,
+                         with_images=True, crop_size=(12, 12))
+    syn.save(str(tmp_path))
+    store = CropStore(str(tmp_path), min_points=5, crop_size=(12, 12))
+    classes = [f"class_{i}" for i in range(10)]
+    ds = PairDataset(store=store, classes=classes,
+                     cls_to_idx={c: i for i, c in enumerate(classes)},
+                     tracking_classes={c: c for c in classes},
+                     mode="image", subsample_sparse=12, seed=0)
+    assert ds.supports_batch_load
+    idxs = list(range(min(12, len(ds))))
+    batch = ds.sample_batch(idxs)
+    ref = collate_pairs([ds.sample(i) for i in idxs])
+    assert batch["sparse_1"].shape == (len(idxs), 3, 12, 12)
+    for k in ref:
+        np.testing.assert_array_equal(batch[k], ref[k], err_msg=k)
+
+    # missing crop file -> zero image in both paths (soft failure)
+    p0 = ds._plan(0)
+    path = os.path.join(store._frame_dir(store.objects[p0["tok1"]],
+                                         p0["f1"]), "img_crop.bin")
+    os.rename(path, path + ".bak")
+    try:
+        b2 = ds.sample_batch([0])
+        assert np.all(b2["sparse_1"][0] == 0)
+        np.testing.assert_array_equal(
+            b2["sparse_1"][0], ds.sample(0)["sparse_1"])
+    finally:
+        os.rename(path + ".bak", path)
+
+
+def test_image_batch_oversized_stored_crops(tmp_path):
+    """Records stored at a larger crop size than the loader's are read at
+    the stored size and truncated (object_loader_base.py:285-287)."""
+    from point_cloud_reid_tpu.data import CropStore, SyntheticStore
+    syn = SyntheticStore(num_objects=8, frames_per_obj=3, seed=7,
+                         with_images=True, crop_size=(16, 16))
+    syn.save(str(tmp_path))
+    store = CropStore(str(tmp_path), min_points=5, crop_size=(10, 10))
+    tok = next(iter(store.objects))
+    frame = store.filtered_frames(store.objects[tok])[0]
+    batch, ok = store.load_image_batch([(tok, frame)])
+    assert batch.shape == (1, 3, 10, 10) and ok[0] == 1
+    np.testing.assert_array_equal(batch[0], store.load_image(tok, frame))
