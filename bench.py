@@ -262,14 +262,17 @@ def _bench_tracker_e2e(model, variables):
 
 
 def _bench_input_pipeline():
-    """BatchLoader over a materialized on-disk store, batch 2048 — the
-    native C++ batched-read path that feeds real training."""
+    """BatchLoader over a materialized on-disk store — the native C++
+    batched-read path that feeds real training. 4 worker threads (half the
+    tools/train.py default for an 8-chip mesh), flagship batch size, several
+    epochs over a ~2.7k-pair store so the number reflects steady-state
+    multi-batch throughput rather than one cold batch."""
     from point_cloud_reid_tpu.data import (BatchLoader, CropStore,
                                            PairDataset, SyntheticStore)
 
-    root = "/tmp/pcr_bench_store"
+    root = "/tmp/pcr_bench_store_v2"
     if not os.path.exists(os.path.join(root, "objects.pkl")):
-        SyntheticStore(num_objects=700, frames_per_obj=6,
+        SyntheticStore(num_objects=3600, frames_per_obj=6,
                        seed=11).save(root)
     store = CropStore(root, min_points=5)
     classes = [f"class_{i}" for i in range(10)]
@@ -278,16 +281,15 @@ def _bench_input_pipeline():
                      tracking_classes={c: c for c in classes},
                      subsample_sparse=128, seed=0)
     assert ds.supports_batch_load
-    loader = BatchLoader(ds, batch_size=2048, shuffle=True, seed=0,
-                         num_threads=2, drop_last=False)
-    next(iter(loader))                     # warm page cache
-    n_batches, n_samples = 0, 0
+    loader = BatchLoader(ds, batch_size=256, shuffle=True, seed=0,
+                         num_threads=4, drop_last=True)
+    list(loader)                           # warm page cache + thread pool
+    n_samples = 0
     t0 = time.perf_counter()
-    for batch in loader:
-        n_batches += 1
-        n_samples += batch["sparse_1"].shape[0]
-        if n_batches >= 8:
-            break
+    for epoch in (1, 2):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            n_samples += batch["sparse_1"].shape[0]
     dt = time.perf_counter() - t0
     return n_samples / dt
 
