@@ -159,15 +159,23 @@ def _pair_grid(a: jnp.ndarray, b: jnp.ndarray, nt: int, nd: int):
 
 
 def _pallas_grid_ok(model, image_mode: bool, interpret: bool = False) -> bool:
-    """Fused match-grid kernel eligibility: point branch, the flagship head
-    shape (xcorr_eff / corss_attention / linear / point-cat / both-pool)
-    whose per-pair chain the kernel hard-codes. Mesh scale-out runs the
-    shard_map'd kernel (ops.pallas.match_grid.sharded_grid_logits); on CPU
-    the kernel needs interpret mode (Mosaic is TPU-only)."""
-    if image_mode:
-        return False
+    """Fused match-grid kernel eligibility: the flagship head shape
+    (xcorr_eff / point-cat / both-pool, linear attention) whose per-pair
+    chain the kernel hard-codes — corss_attention stages on the point branch,
+    cross_lin_attn (same chain minus the pos-MLP) on the image branch. Mesh
+    scale-out runs the shard_map'd kernel (ops.pallas.match_grid.sharded_*);
+    on CPU the kernel needs interpret mode (Mosaic is TPU-only)."""
     if jax.default_backend() != "tpu" and not interpret:
         return False        # CPU runs use the XLA path (kernel needs Mosaic)
+    if image_mode:
+        if type(model).__name__ != "ImageReIDNet":
+            return False
+        s = dict(model.cross_lin_attn or {})
+        return (model.match_type == "xcorr_eff"
+                and model.combine == "point-cat"
+                and model.pool_type == "both"
+                and s.get("type") == "cross_lin_attn"
+                and s.get("attention", "linear") == "linear")
     if type(model).__name__ != "ReIDNet":
         return False
     s1 = dict(model.cross_stage1 or {})
@@ -181,15 +189,19 @@ def _pallas_grid_ok(model, image_mode: bool, interpret: bool = False) -> bool:
             and s2.get("attention", "linear") == "linear")
 
 
-def _pallas_det_block(nd: int) -> int:
+def _pallas_det_block(nd: int, image_mode: bool = False) -> int:
     """Largest det block <=32 dividing nd (callers guarantee nd % 8 == 0).
 
     32 needs the kernel's raised 20 MB VMEM scoped limit; fewer, bigger grid
     cells amortize per-op issue overhead (measured 24.5 -> 18.9 ms on the
-    128x128 frame across the r3 kernel rework)."""
-    if nd % 32 == 0:
-        return 32
-    return 16 if nd % 16 == 0 else 8
+    128x128 frame across the r3 kernel rework). Image blocks carry ~1.6x the
+    rows (200 padded tokens vs 128 points), so they cap at 16 to stay inside
+    the same VMEM budget."""
+    cap = 16 if image_mode else 32
+    for b in (32, 16, 8):
+        if b <= cap and nd % b == 0:
+            return b
+    return 8
 
 
 def _embed_tokens(model, variables, crops, image_mode: bool):
@@ -281,9 +293,8 @@ class PairScorer:
             axis (never the full (nt*nd, N, C) tensor on the host), which is
             what lets cost_matrix scale to Waymo-size 10k+ pair frames."""
             if image_mode:
-                return model.apply(variables, h_t, h_d, train=False,
-                                   method="match_logits_grid",
-                                   pair_sharding=flat_spec)
+                return self._image_grid_logits(variables, h_t, h_d,
+                                               grid_backend(h_d.shape[0]))
             return grid_logits(variables, h_t, xyz_t, h_d, xyz_d,
                                grid_backend(h_d.shape[0]))
         self._score_grid = _score_grid
@@ -332,6 +343,25 @@ class PairScorer:
                 interpret=self._interpret)
         return self.model.apply(variables, h_t, xyz_t, h_d, xyz_d,
                                 train=False, method="match_logits_grid",
+                                pair_sharding=self._flat_spec)
+
+    def _image_grid_logits(self, variables, h_t, h_d, backend: str):
+        """Image-branch grid scorer body (no xyz; CrossLinAttn head)."""
+        if backend == "pallas-sharded":
+            from ..ops.pallas.match_grid import sharded_image_grid_logits
+            return sharded_image_grid_logits(
+                self.model, variables, h_t, h_d, self.mesh,
+                det_block=_pallas_det_block(h_d.shape[0] // self.mesh.size,
+                                            image_mode=True),
+                interpret=self._interpret)
+        if backend == "pallas":
+            from ..ops.pallas.match_grid import pallas_image_grid_logits
+            return pallas_image_grid_logits(
+                self.model, variables, h_t, h_d,
+                det_block=_pallas_det_block(h_d.shape[0], image_mode=True),
+                interpret=self._interpret)
+        return self.model.apply(variables, h_t, h_d, train=False,
+                                method="match_logits_grid",
                                 pair_sharding=self._flat_spec)
 
     # ---- embedding stage (amortized per object) ------------------------------
@@ -411,8 +441,9 @@ class PairScorer:
         """
         model, image_mode = self.model, self.image_mode
         flat_spec = self._flat_spec
-        grid_backend = self._grid_backend(n_dets) if not image_mode else "xla"
+        grid_backend = self._grid_backend(n_dets)
         grid_logits = self._grid_logits
+        image_grid_logits = self._image_grid_logits
         assert not (image_mode and crop_points), \
             "on-device box crops are a point-branch path"
 
@@ -433,9 +464,7 @@ class PairScorer:
                                        image_mode)
 
             if image_mode:
-                logits = model.apply(variables, h_t, h_d, train=False,
-                                     method="match_logits_grid",
-                                     pair_sharding=flat_spec)
+                logits = image_grid_logits(variables, h_t, h_d, grid_backend)
                 return logits, h_d, xyz_d
             logits = grid_logits(variables, h_t, xyz_t, h_d, xyz_d,
                                  grid_backend)

@@ -66,13 +66,24 @@ def _make_dot(dt):
     return dot
 
 
-def _kernel(ht_ref, qt_ref, kvzt_ref, at_ref, pvt_ref,
-            hd_ref, qd_ref, kvzd_ref, ad_ref, pvd_ref,
-            m1_ref, ln1s_ref, ln1b_ref, f11_ref, f12_ref, ln2s_ref, ln2b_ref,
-            wq2_ref, wkv2_ref,
-            m2_ref, ln21s_ref, ln21b_ref, f21_ref, f22_ref, ln22s_ref,
-            ln22b_ref, out_ref, *, nhead: int, det_block: int,
-            debug_skip: frozenset = frozenset()):
+def _kernel(*refs, nhead: int, det_block: int, n_true: int = 0,
+            with_pos: bool = True, debug_skip: frozenset = frozenset()):
+    if with_pos:
+        (ht_ref, qt_ref, kvzt_ref, at_ref, pvt_ref,
+         hd_ref, qd_ref, kvzd_ref, ad_ref, pvd_ref,
+         m1_ref, ln1s_ref, ln1b_ref, f11_ref, f12_ref, ln2s_ref, ln2b_ref,
+         wq2_ref, wkv2_ref,
+         m2_ref, ln21s_ref, ln21b_ref, f21_ref, f22_ref, ln22s_ref,
+         ln22b_ref, out_ref) = refs
+    else:
+        # image head (CrossLinAttn): no pos-MLP terms anywhere
+        (ht_ref, qt_ref, kvzt_ref, at_ref,
+         hd_ref, qd_ref, kvzd_ref, ad_ref,
+         m1_ref, ln1s_ref, ln1b_ref, f11_ref, f12_ref, ln2s_ref, ln2b_ref,
+         wq2_ref, wkv2_ref,
+         m2_ref, ln21s_ref, ln21b_ref, f21_ref, f22_ref, ln22s_ref,
+         ln22b_ref, out_ref) = refs
+        pvt_ref = pvd_ref = None
     N, C = ht_ref.shape[1], ht_ref.shape[2]
     H, bd = nhead, det_block
     D = C // H
@@ -88,6 +99,16 @@ def _kernel(ht_ref, qt_ref, kvzt_ref, at_ref, pvt_ref,
     r = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0) // D
     c = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1) // D
     head_mask = (r == c).astype(f32)
+
+    # token-pad mask: rows >= n_live are sublane padding (image sequences,
+    # S=198 tokens, are not 8-aligned). Padded rows must not leak into the
+    # stage-2 template summaries or the pooled features; everything else is
+    # row-local (LN over lanes, residuals) so garbage pad rows are harmless.
+    n_live = n_true or N
+    live3 = None
+    if n_live < N:
+        tok = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+        live3 = (tok < n_live).astype(f32)                   # (1, N, 1)
 
     def layer_norm(x, scale_row, bias_row):
         if "ln" in debug_skip:          # cost-bisection variant (profiling)
@@ -172,7 +193,9 @@ def _kernel(ht_ref, qt_ref, kvzt_ref, at_ref, pvt_ref,
         tkv = _dot(template3.reshape(bd * N, C),
                    wkv2_ref[:]).reshape(bd, N, 2 * C)
         k3 = _elu1(tkv[..., :C])                             # (bd, N, C)
-        v3 = tkv[..., C:] + pv3
+        if live3 is not None:
+            k3 = k3 * live3      # padded template rows: elu1(junk) > 0
+        v3 = tkv[..., C:] if pv3 is None else tkv[..., C:] + pv3
         # (bd, C, C) = k_d^T v_d for every det at once
         kv = jax.lax.dot_general(k3.astype(dt), v3.astype(dt),
                                  (((1,), (1,)), ((0,), (0,))),
@@ -187,8 +210,10 @@ def _kernel(ht_ref, qt_ref, kvzt_ref, at_ref, pvt_ref,
     if "stage2" in debug_skip:          # cost-bisection variant (profiling)
         o1b, o2b = o1a, o2a
     else:
-        s2_msg1 = stage2_direction(o1a, o2a, pvd_ref[...])
-        s2_msg2 = stage2_direction(o2a, o1a, pvt_ref[...])
+        s2_msg1 = stage2_direction(
+            o1a, o2a, None if pvd_ref is None else pvd_ref[...])
+        s2_msg2 = stage2_direction(
+            o2a, o1a, None if pvt_ref is None else pvt_ref[...])
         o1b = ffn(o1a, s2_msg1, None, m2_ref, ln21s_ref[:], ln21b_ref[:],
                   f21_ref, f22_ref, ln22s_ref[:], ln22b_ref[:])
         o2b = ffn(o2a, s2_msg2, None, m2_ref, ln21s_ref[:], ln21b_ref[:],
@@ -197,8 +222,16 @@ def _kernel(ht_ref, qt_ref, kvzt_ref, at_ref, pvt_ref,
     # ---- point-cat pool: max/avg over the 2N combined points --------------
     # 3D reductions over the point axis (the r2 kernel looped bd sublane
     # slices + a row concat); one aligned lane-concat of the (bd, C) halves.
-    mx = jnp.maximum(jnp.max(o1b, axis=1), jnp.max(o2b, axis=1))
-    av = 0.5 * (jnp.mean(o1b, axis=1) + jnp.mean(o2b, axis=1))
+    if live3 is None:
+        mx = jnp.maximum(jnp.max(o1b, axis=1), jnp.max(o2b, axis=1))
+        av = 0.5 * (jnp.mean(o1b, axis=1) + jnp.mean(o2b, axis=1))
+    else:
+        neg = (1.0 - live3) * 1e9
+        mx = jnp.maximum(jnp.max(o1b - neg, axis=1),
+                         jnp.max(o2b - neg, axis=1))
+        inv = 1.0 / (2.0 * n_live)
+        av = (jnp.sum(o1b * live3, axis=1)
+              + jnp.sum(o2b * live3, axis=1)) * inv
     out_ref[0] = jnp.concatenate([mx, av], axis=1).astype(out_ref.dtype)
 
 
@@ -209,6 +242,7 @@ def fused_match_grid(h_t: jnp.ndarray, qt: jnp.ndarray, kvzt: jnp.ndarray,
                      stage1: Dict[str, Any], stage2: Dict[str, Any],
                      nhead: int, det_block: int = 8,
                      interpret: bool = False,
+                     n_true: int = 0,
                      debug_skip: frozenset = frozenset()) -> jnp.ndarray:
     """All-pairs pooled match features.
 
@@ -221,16 +255,22 @@ def fused_match_grid(h_t: jnp.ndarray, qt: jnp.ndarray, kvzt: jnp.ndarray,
             Z = diag(ksum) @ head-mask so the same contraction yields the
             normalizer.
         at1/ad1: (n, N, 2C) hoisted stage-1 fc1 search-half products.
-        pvt/pvd: (n, N, C) hoisted stage-2 pos-MLP @ v_proj terms.
+        pvt/pvd: (n, N, C) hoisted stage-2 pos-MLP @ v_proj terms — None for
+            the image head (CrossLinAttn has no pos-MLP), which also drops
+            the corresponding kernel inputs entirely.
         stage1/stage2: weight dicts — stage1: merge (C,C), ln1_scale/ln1_bias
             (C,), fc1 (2C,2C), fc2 (2C,C), ln2_scale/ln2_bias; stage2 adds
             q (C,C) and kv (C,2C) = [Wk | Wv].
+        n_true: true token count when the point axis was zero-padded to a
+            sublane multiple (image sequences, S=198); 0 = all rows live.
     Returns:
         (nt, nd, 2C) pooled [max || avg] features; feed the match head.
     """
     nt, N, C = h_t.shape
     nd = h_d.shape[0]
     assert nd % det_block == 0, (nd, det_block)
+    assert (pvt is None) == (pvd is None)
+    with_pos = pvt is not None
     bd = det_block
     nb = nd // bd
 
@@ -248,23 +288,33 @@ def fused_match_grid(h_t: jnp.ndarray, qt: jnp.ndarray, kvzt: jnp.ndarray,
     det = lambda j, i: (j, 0, 0)
     const = lambda j, i: (0, 0)
 
-    in_specs = [
+    t_specs = [
         pl.BlockSpec((1, N, C), track, memory_space=pltpu.VMEM),    # ht
         pl.BlockSpec((1, N, C), track, memory_space=pltpu.VMEM),    # qt
         pl.BlockSpec((1, C, 2 * C), track, memory_space=pltpu.VMEM),  # kvzt
         pl.BlockSpec((1, N, 2 * C), track, memory_space=pltpu.VMEM),  # at
         pl.BlockSpec((1, N, C), track, memory_space=pltpu.VMEM),    # pvt
+    ]
+    d_specs = [
         pl.BlockSpec((bd, N, C), det, memory_space=pltpu.VMEM),     # hd
         pl.BlockSpec((bd, N, C), det, memory_space=pltpu.VMEM),     # qd
         pl.BlockSpec((bd, C, 2 * C), det, memory_space=pltpu.VMEM),  # kvzd
         pl.BlockSpec((bd, N, 2 * C), det, memory_space=pltpu.VMEM),  # ad
         pl.BlockSpec((bd, N, C), det, memory_space=pltpu.VMEM),     # pvd
-    ] + [pl.BlockSpec(w.shape, const, memory_space=pltpu.VMEM) for w in weights]
+    ]
+    t_args = [h_t, qt, kvzt, at1, pvt]
+    d_args = [h_d, qd, kvzd, ad1, pvd]
+    if not with_pos:
+        t_specs, d_specs = t_specs[:-1], d_specs[:-1]
+        t_args, d_args = t_args[:-1], d_args[:-1]
+    in_specs = t_specs + d_specs + [
+        pl.BlockSpec(w.shape, const, memory_space=pltpu.VMEM) for w in weights]
 
     out_spec = pl.BlockSpec((1, bd, 2 * C), lambda j, i: (i, j, 0),
                             memory_space=pltpu.VMEM)
 
     kern = functools.partial(_kernel, nhead=nhead, det_block=bd,
+                             n_true=n_true, with_pos=with_pos,
                              debug_skip=debug_skip)
     # det_block 32 wants ~18 MB of VMEM stack — well inside v5e's physical
     # VMEM but over the 16 MB default scoped limit (a 100 MB limit makes the
@@ -280,7 +330,7 @@ def fused_match_grid(h_t: jnp.ndarray, qt: jnp.ndarray, kvzt: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((nt, nd, 2 * C), h_t.dtype),
         compiler_params=params,
         interpret=interpret,
-    )(h_t, qt, kvzt, at1, pvt, h_d, qd, kvzd, ad1, pvd, *weights)
+    )(*t_args, *d_args, *weights)
 
 
 def grid_factors(params: Dict[str, Any], h: jnp.ndarray, xyz: jnp.ndarray,
@@ -327,6 +377,100 @@ def grid_factors(params: Dict[str, Any], h: jnp.ndarray, xyz: jnp.ndarray,
     pv = pos2 @ s2["v_proj"]["kernel"]                           # (n, N, C)
     dt = h.dtype
     return q.astype(dt), kvz.astype(dt), a1.astype(dt), pv.astype(dt)
+
+
+def image_grid_factors(params: Dict[str, Any], h: jnp.ndarray, nhead: int
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-object factors for the image head (CrossLinAttn — no pos-MLP):
+    (q, kvz, a1) with the same conventions as grid_factors, computed on the
+    TRUE token count (callers pad the outputs to a sublane multiple)."""
+    s1 = params["cross_stage1"]
+    n, S, C = h.shape
+    D = C // nhead
+
+    q = _elu1(h @ s1["q_proj"]["kernel"])                        # (n, S, C)
+    k = _elu1(h @ s1["k_proj"]["kernel"])
+    v = h @ s1["v_proj"]["kernel"]
+    kv = jnp.einsum("bnc,bnd->bcd", k, v)                        # (n, C, C)
+    rr = jnp.arange(C)[:, None] // D
+    cc = jnp.arange(C)[None, :] // D
+    gmask = (rr == cc)
+    kv = kv * gmask.astype(kv.dtype)                             # block-diag
+    zmat = k.sum(axis=1)[:, :, None] * gmask[None].astype(kv.dtype)
+    kvz = jnp.concatenate([kv, zmat], axis=-1)                   # (n, C, 2C)
+    a1 = h @ s1["mlp_fc1"]["kernel"][:C]                         # (n, S, 2C)
+    dt = h.dtype
+    return q.astype(dt), kvz.astype(dt), a1.astype(dt)
+
+
+def _pad_tokens(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    """Zero-pad the token axis (axis 1) to n_pad rows."""
+    s = x.shape[1]
+    if s == n_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, n_pad - s), (0, 0)))
+
+
+def pallas_image_grid_logits(model, variables, h_t, h_d,
+                             det_block: int = 8, interpret: bool = False
+                             ) -> jnp.ndarray:
+    """Image-branch pallas grid scorer: the same fused per-pair kernel as the
+    point path, minus the pos-MLP terms (CrossLinAttn, attention.py:312-370
+    has none). Token sequences (S=198 for DeiT-distilled) are zero-padded to
+    a sublane multiple of 8 and masked in-kernel (stage-2 template keys +
+    pooling — everything else is row-local).
+
+    Drop-in equivalent of ImageReIDNet.match_logits_grid for the flagship
+    image config (xcorr_eff / cross_lin_attn / linear / point-cat / both);
+    the caller checks eligibility (PairScorer does)."""
+    params = variables["params"]
+    nhead = dict(model.cross_lin_attn)["nhead"]
+    S = h_t.shape[1]
+    n_pad = -(-S // 8) * 8
+    qt, kvzt, at1 = image_grid_factors(params, h_t, nhead)
+    qd, kvzd, ad1 = image_grid_factors(params, h_d, nhead)
+    w1, w2 = stage_weights(params)
+    pooled = fused_match_grid(
+        _pad_tokens(h_t, n_pad), _pad_tokens(qt, n_pad), kvzt,
+        _pad_tokens(at1, n_pad), None,
+        _pad_tokens(h_d, n_pad), _pad_tokens(qd, n_pad), kvzd,
+        _pad_tokens(ad1, n_pad), None,
+        w1, w2, nhead, det_block, interpret,
+        n_true=(S if S != n_pad else 0))
+    nt, nd = h_t.shape[0], h_d.shape[0]
+    logits = model.apply(
+        variables, pooled.reshape(nt * nd, pooled.shape[-1]),
+        method=lambda m, x: m._match_head(x, train=False))[..., 0]
+    return logits.reshape(nt, nd)
+
+
+def sharded_image_grid_logits(model, variables, h_t, h_d, mesh,
+                              det_block: int = 8,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Multi-chip image pallas grid: det tokens sharded over every mesh axis,
+    tracks replicated, zero collectives — the image analog of
+    sharded_grid_logits (same divisibility contract: nd % (mesh.size * 8))."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map                   # jax >= 0.4.35
+        no_check_kw = {"check_vma": False}
+    except ImportError:                             # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+        no_check_kw = {"check_rep": False}
+
+    n_dev = mesh.size
+    nd = h_d.shape[0]
+    assert nd % (n_dev * 8) == 0, (nd, n_dev)
+    axes = tuple(mesh.axis_names)
+
+    def local(h_t, h_d):
+        return pallas_image_grid_logits(
+            model, variables, h_t, h_d,
+            det_block=min(det_block, nd // n_dev), interpret=interpret)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(axes)),
+                   out_specs=P(None, axes), **no_check_kw)
+    return fn(h_t, h_d)
 
 
 def pallas_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,

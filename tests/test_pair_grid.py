@@ -299,3 +299,68 @@ def test_pairscorer_fused_backbone_interpret_matches_xla():
     out = scorer.cost_matrix(h_t, x_t, h_d, x_d, pad=True)
     _np.testing.assert_allclose(_np.asarray(out), _np.asarray(ref),
                                 rtol=2e-4, atol=2e-5)
+
+
+def _make_image(S, nt=3, nd=8):
+    from point_cloud_reid_tpu.configs import EXPERIMENTS
+    name = next(n for n in EXPERIMENTS if "deit-tiny" in n and "nus" in n
+                and not n.startswith("testing"))
+    cfg = get_experiment(name)
+    model = build_model(dict(cfg["model"]))
+    C = model.downsample_dim
+    rs = np.random.RandomState(1)
+    h_t = jnp.asarray(rs.randn(nt, S, C).astype(np.float32))
+    h_d = jnp.asarray(rs.randn(nd, S, C).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), h_t[:1], h_t[:1],
+                           train=False, method="match_logits")
+    return model, variables, h_t, h_d
+
+
+@pytest.mark.parametrize("S", [16, 10])
+def test_pallas_image_grid_matches_xla(S):
+    """Image pallas grid (interpret mode) == ImageReIDNet.match_logits_grid,
+    at an 8-aligned token count and an unaligned one (S=10 pads to 16 and
+    exercises the in-kernel token masking — stage-2 template keys and the
+    max/avg pooling must ignore pad rows)."""
+    from point_cloud_reid_tpu.ops.pallas.match_grid import \
+        pallas_image_grid_logits
+    model, variables, h_t, h_d = _make_image(S)
+    xla = model.apply(variables, h_t, h_d, train=False,
+                      method="match_logits_grid")
+    fused = pallas_image_grid_logits(model, variables, h_t, h_d,
+                                     det_block=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(xla),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_pallas_image_grid_matches_xla():
+    """shard_map'd image pallas grid on the 8-device CPU mesh (interpret) ==
+    the unsharded XLA image grid."""
+    from jax.sharding import Mesh
+    from point_cloud_reid_tpu.ops.pallas.match_grid import \
+        sharded_image_grid_logits
+    model, variables, h_t, h_d = _make_image(S=10, nt=4, nd=64)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    xla = model.apply(variables, h_t, h_d, train=False,
+                      method="match_logits_grid")
+    fused = sharded_image_grid_logits(model, variables, h_t, h_d, mesh,
+                                      det_block=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(xla),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pairscorer_image_routes_pallas():
+    """PairScorer(image_mode) with pallas_interpret routes the image kernel
+    ('pallas' single-chip, 'xla' for non-divisible counts) and its
+    cost_matrix equals the forced-XLA scorer's."""
+    from point_cloud_reid_tpu.inference import PairScorer
+    model, variables, h_t, h_d = _make_image(S=10, nt=4, nd=16)
+    scorer = PairScorer(model, variables, image_mode=True,
+                        pallas_interpret=True)
+    assert scorer._grid_backend(16) == "pallas"
+    assert scorer._grid_backend(13) == "xla"
+    ref = PairScorer(model, variables, image_mode=True, backend="xla")
+    got = scorer.cost_matrix(h_t, None, h_d, None, pad=True)
+    want = ref.cost_matrix(h_t, None, h_d, None, pad=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

@@ -104,7 +104,9 @@ def build_all(cfg, args):
 
     # one loader thread per chip keeps an N-chip DP step fed (the reference
     # uses workers_per_gpu subprocesses, apis/train.py:37)
-    threads = args.loader_threads or max(2, n_dev)
+    # getattr: callers that build their own Namespace (tools/parity_eval.py,
+    # tools/test.py) predate this flag
+    threads = getattr(args, "loader_threads", None) or max(2, n_dev)
     train_loader = BatchLoader(train_ds, batch_size=batch, shuffle=True,
                                seed=args.seed, num_threads=threads)
     val_loader = BatchLoader(val_ds, batch_size=batch, shuffle=False,
