@@ -239,19 +239,28 @@ class PairScorer:
         self._backend = backend
         self._interpret = pallas_interpret
         # fused SA-stage backbone (ops/pallas/sa_stage): swap the embed path
-        # onto the VMEM-resident gather+MLP+max kernel for single-chip
-        # point-branch inference (same params, eval-only compute path).
-        # Mesh embeds stay XLA — the SA pallas_call is not shard_map'd.
-        if (not image_mode and mesh is None and backend in ("auto", "pallas")
+        # onto the VMEM-resident gather+MLP+max kernel for point-branch
+        # inference (same params, eval-only compute path). Single-chip: the
+        # model itself is cloned, every embed call routes the kernel. Mesh:
+        # GSPMD cannot partition the pallas_call, so the base model keeps
+        # the XLA embed and frame programs shard_map the cloned model's
+        # embed per det shard (crops are independent rows) when the det
+        # count divides the mesh.
+        self._pallas_embed_model = None
+        if (not image_mode and backend in ("auto", "pallas")
                 and (jax.default_backend() == "tpu" or pallas_interpret)
                 and isinstance(getattr(model, "backbone", None), dict)
                 and model.backbone.get("type") in ("Pointnet_Backbone",
                                                    "point_transformer")
                 and not model.backbone.get("pallas_inference")):
-            model = model.clone(backbone=dict(
+            cloned = model.clone(backbone=dict(
                 model.backbone, pallas_inference=True,
                 pallas_interpret=pallas_interpret))
-            self.model = model
+            if mesh is None:
+                model = cloned
+                self.model = model
+            else:
+                self._pallas_embed_model = cloned
         self._use_pallas = (backend in ("auto", "pallas")
                             and _pallas_grid_ok(model, image_mode,
                                                 pallas_interpret))
@@ -364,6 +373,37 @@ class PairScorer:
                                 method="match_logits_grid",
                                 pair_sharding=self._flat_spec)
 
+    def _make_embed_fn(self, n_dets: int):
+        """Frame-program embed: (variables, det_crops) -> (xyz_d, h_d).
+
+        Mesh + point branch + divisible det count: shard_map the fused
+        SA-stage pallas embed per det shard (crops are independent rows, so
+        sharding the crop axis needs zero collectives; GSPMD cannot
+        partition the pallas_call itself, which is why the plain mesh path
+        keeps the XLA embed). Everything else: direct apply."""
+        model, image_mode = self.model, self.image_mode
+        pallas_embed = self._pallas_embed_model
+        if (self.mesh is None or image_mode or pallas_embed is None
+                or n_dets % self.mesh.size != 0):
+            return lambda variables, crops: _embed_tokens(
+                model, variables, crops, image_mode)
+
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map                   # jax >= 0.4.35
+            kw = {"check_vma": False}
+        except ImportError:                             # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+            kw = {"check_rep": False}
+        axes = tuple(self.mesh.axis_names)
+
+        def _local(variables, crops_local):
+            return _embed_tokens(pallas_embed, variables, crops_local, False)
+
+        return shard_map(_local, mesh=self.mesh,
+                         in_specs=(P(), P(axes)),
+                         out_specs=(P(axes), P(axes)), **kw)
+
     # ---- embedding stage (amortized per object) ------------------------------
 
     def embed(self, crops: jnp.ndarray):
@@ -444,6 +484,7 @@ class PairScorer:
         grid_backend = self._grid_backend(n_dets)
         grid_logits = self._grid_logits
         image_grid_logits = self._image_grid_logits
+        embed_fn = self._make_embed_fn(n_dets)
         assert not (image_mode and crop_points), \
             "on-device box crops are a point-branch path"
 
@@ -460,8 +501,7 @@ class PairScorer:
                 # embed stage: detections sharded over the mesh too
                 det_crops = jax.lax.with_sharding_constraint(det_crops,
                                                              flat_spec)
-            xyz_d, h_d = _embed_tokens(model, variables, det_crops,
-                                       image_mode)
+            xyz_d, h_d = embed_fn(variables, det_crops)
 
             if image_mode:
                 logits = image_grid_logits(variables, h_t, h_d, grid_backend)
@@ -489,9 +529,9 @@ class PairScorer:
         -> (new_h_buf, new_xyz_buf, logits (t_pad, d_pad), h_dets, xyz_dets).
         """
         assert not self.image_mode, "device cache is a point-branch path"
-        model = self.model
         grid_backend = self._grid_backend(d_pad)
         grid_logits = self._grid_logits
+        embed_fn = self._make_embed_fn(d_pad)
 
         @jax.jit
         def frame(variables, h_buf, xyz_buf, prev_h, prev_xyz,
@@ -505,7 +545,7 @@ class PairScorer:
             from ..tracking.crops import extract_box_crops
             det_crops, _ = extract_box_crops(jax.random.PRNGKey(seed), pts,
                                              boxes, crop_points)
-            xyz_d, h_d = _embed_tokens(model, variables, det_crops, False)
+            xyz_d, h_d = embed_fn(variables, det_crops)
             logits = grid_logits(variables, h_t, xyz_t, h_d, xyz_d,
                                  grid_backend)
             return h_buf, xyz_buf, logits, h_d, xyz_d

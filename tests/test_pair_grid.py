@@ -364,3 +364,34 @@ def test_pairscorer_image_routes_pallas():
     want = ref.cost_matrix(h_t, None, h_d, None, pad=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pairscorer_mesh_sharded_pallas_embed():
+    """Mesh frames embed through the shard_map'd fused SA-stage kernel
+    (per det shard; GSPMD can't partition the pallas_call, which previously
+    forced mesh embeds onto the XLA path) — features must match XLA embed."""
+    import numpy as _np
+    from jax.sharding import Mesh
+    from point_cloud_reid_tpu.inference import PairScorer
+    if jax.device_count() < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    model, variables = _make()
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    scorer = PairScorer(model, variables, mesh=mesh, pallas_interpret=True)
+    assert scorer._pallas_embed_model is not None
+    # base model keeps XLA embed (GSPMD path for non-divisible counts)
+    assert not scorer.model.backbone.get("pallas_inference", False)
+
+    nt, nd, n = 4, 16, 16
+    tracks = jax.random.normal(jax.random.PRNGKey(20), (nt, n, 3))
+    dets = jax.random.normal(jax.random.PRNGKey(21), (nd, n, 3))
+    x_t, h_t = scorer.embed(tracks)
+    frame = scorer.make_frame_fn(nt, nd)
+    _, h_d, x_d = frame(h_t, x_t, dets)
+
+    xla = PairScorer(model, variables, backend="xla")
+    x_ref, h_ref = xla.embed(dets)
+    _np.testing.assert_allclose(_np.asarray(h_d), _np.asarray(h_ref),
+                                rtol=2e-4, atol=2e-5)
+    _np.testing.assert_allclose(_np.asarray(x_d), _np.asarray(x_ref),
+                                rtol=1e-6, atol=1e-6)
