@@ -107,8 +107,10 @@ def _kernel(*refs, nhead: int, det_block: int, n_true: int = 0,
     n_live = n_true or N
     live3 = None
     if n_live < N:
-        tok = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
-        live3 = (tok < n_live).astype(f32)                   # (1, N, 1)
+        # (N, C) full-lane mask (a (1, N, 1) iota would need two squeezed
+        # dims — a Mosaic lowering gotcha; this matches head_mask's pattern)
+        tok = jax.lax.broadcasted_iota(jnp.int32, (N, C), 0)
+        live3 = (tok < n_live).astype(f32)[None]             # (1, N, C)
 
     def layer_norm(x, scale_row, bias_row):
         if "ln" in debug_skip:          # cost-bisection variant (profiling)
