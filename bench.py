@@ -225,11 +225,13 @@ def _bench_image_frame():
         _sync(frame_x(variables, h_t, None, crops)[0])
         return frame_x, h_t
 
+    backend_used, kernel_error = "auto", None
     try:
         frame_x, h_t = build_frame("auto")       # image pallas grid on TPU
-    except Exception:
-        # never lose the metric to a kernel regression — the XLA grid is
-        # the measured-correct fallback
+    except Exception as e:
+        # never lose the metric to a kernel regression — fall back to the
+        # XLA grid, but RECORD the failure so the driver artifact shows it
+        backend_used, kernel_error = "xla-fallback", str(e)[:120]
         frame_x, h_t = build_frame("xla")
     n_iters = 20
     t0 = time.perf_counter()
@@ -237,7 +239,7 @@ def _bench_image_frame():
         mat, _, _ = frame_x(variables, h_t, None, crops)
     _sync(mat)
     dt = (time.perf_counter() - t0) / n_iters
-    return dt * 1e3, NT * ND / dt
+    return dt * 1e3, NT * ND / dt, backend_used, kernel_error
 
 
 def _bench_tracker_e2e(model, variables):
@@ -343,9 +345,12 @@ def main():
     except Exception as e:
         secondary.update(tracker_e2e_ms=None, e2e_error=str(e)[:120])
     try:
-        img_ms, img_pps = _bench_image_frame()
+        img_ms, img_pps, img_backend, img_err = _bench_image_frame()
         secondary.update(image_frame_ms=round(img_ms, 2),
-                         image_pairs_per_sec_per_chip=round(img_pps, 1))
+                         image_pairs_per_sec_per_chip=round(img_pps, 1),
+                         image_frame_backend=img_backend)
+        if img_err:
+            secondary["image_kernel_error"] = img_err
     except Exception as e:
         secondary.update(image_frame_ms=None, image_error=str(e)[:120])
     try:

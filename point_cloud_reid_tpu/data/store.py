@@ -176,14 +176,20 @@ class CropStore:
             stored = self.objects[o].crop_size or self.crop_size
             groups.setdefault(tuple(stored), []).append(b)
         for stored, idxs in groups.items():
-            if stored[0] < H or stored[1] < W:
-                o, f = pairs[idxs[0]]
-                raise ValueError(
-                    f"stored crop {stored} for {o}/{f} is smaller than "
-                    f"loader crop_size {self.crop_size}")
             paths = [os.path.join(
                 self._frame_dir(self.objects[pairs[b][0]], pairs[b][1]),
                 "img_crop.bin") for b in idxs]
+            if stored[0] < H or stored[1] < W:
+                # per-item parity (load_image): a MISSING file soft-fails to
+                # zeros before the undersize check ever runs; an existing
+                # undersized crop fails fast
+                for b, p in zip(idxs, paths):
+                    if os.path.exists(p):
+                        o, f = pairs[b]
+                        raise ValueError(
+                            f"stored crop {stored} for {o}/{f} is smaller "
+                            f"than loader crop_size {self.crop_size}")
+                continue                       # all missing -> zeros, ok=-1
             blobs, g_ok = native.load_blob_batch(paths, (3,) + stored)
             out[idxs] = blobs[:, :, :H, :W]
             ok[idxs] = g_ok

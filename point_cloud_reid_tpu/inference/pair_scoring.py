@@ -389,12 +389,8 @@ class PairScorer:
                 model, variables, crops, image_mode)
 
         from jax.sharding import PartitionSpec as P
-        try:
-            from jax import shard_map                   # jax >= 0.4.35
-            kw = {"check_vma": False}
-        except ImportError:                             # pragma: no cover
-            from jax.experimental.shard_map import shard_map
-            kw = {"check_rep": False}
+        from ..ops.pallas.match_grid import _shard_map_nocheck
+        shard_map, kw = _shard_map_nocheck()
         axes = tuple(self.mesh.axis_names)
 
         def _local(variables, crops_local):

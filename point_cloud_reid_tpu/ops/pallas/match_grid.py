@@ -335,6 +335,37 @@ def fused_match_grid(h_t: jnp.ndarray, qt: jnp.ndarray, kvzt: jnp.ndarray,
     )(*t_args, *d_args, *weights)
 
 
+def _shard_map_nocheck():
+    """(shard_map, no-check kwargs) across the jax-version rename: the
+    experimental module predates check_vma and only accepts check_rep."""
+    try:
+        from jax import shard_map                   # jax >= 0.4.35
+        return shard_map, {"check_vma": False}
+    except ImportError:                             # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+        return shard_map, {"check_rep": False}
+
+
+def _stage1_factors(s1: Dict[str, Any], h: jnp.ndarray, v_in: jnp.ndarray,
+                    nhead: int) -> Tuple[jnp.ndarray, ...]:
+    """Shared per-object stage-1 factor math (point and image heads differ
+    only in what feeds v_proj: h + pos_mlp(xyz) vs plain h)."""
+    n, N, C = h.shape
+    D = C // nhead
+    q = _elu1(h @ s1["q_proj"]["kernel"])                        # (n, N, C)
+    k = _elu1(h @ s1["k_proj"]["kernel"])
+    v = v_in @ s1["v_proj"]["kernel"]
+    kv = jnp.einsum("bnc,bnd->bcd", k, v)                        # (n, C, C)
+    rr = jnp.arange(C)[:, None] // D
+    cc = jnp.arange(C)[None, :] // D
+    gmask = (rr == cc)
+    kv = kv * gmask.astype(kv.dtype)                             # block-diag
+    zmat = k.sum(axis=1)[:, :, None] * gmask[None].astype(kv.dtype)
+    kvz = jnp.concatenate([kv, zmat], axis=-1)                   # (n, C, 2C)
+    a1 = h @ s1["mlp_fc1"]["kernel"][:C]                         # (n, N, 2C)
+    return q, kvz, a1
+
+
 def grid_factors(params: Dict[str, Any], h: jnp.ndarray, xyz: jnp.ndarray,
                  nhead: int) -> Tuple[jnp.ndarray, ...]:
     """Per-object factors from raw cross_stage1/cross_stage2 params.
@@ -356,23 +387,10 @@ def grid_factors(params: Dict[str, Any], h: jnp.ndarray, xyz: jnp.ndarray,
              the stage-2 value projection (per-object, so hoisted).
     """
     s1, s2 = params["cross_stage1"], params["cross_stage2"]
-    n, N, C = h.shape
-    D = C // nhead
-
-    q = _elu1(h @ s1["q_proj"]["kernel"])                        # (n, N, C)
-    k = _elu1(h @ s1["k_proj"]["kernel"])
     pos1 = jax.nn.relu(xyz @ s1["pos_mlp"]["fc1"]["kernel"]
                        + s1["pos_mlp"]["fc1"]["bias"])
     pos1 = pos1 @ s1["pos_mlp"]["fc2"]["kernel"] + s1["pos_mlp"]["fc2"]["bias"]
-    v = (h + pos1) @ s1["v_proj"]["kernel"]
-    kv = jnp.einsum("bnc,bnd->bcd", k, v)                        # (n, C, C)
-    rr = jnp.arange(C)[:, None] // D
-    cc = jnp.arange(C)[None, :] // D
-    gmask = (rr == cc)
-    kv = kv * gmask.astype(kv.dtype)                             # block-diag
-    zmat = k.sum(axis=1)[:, :, None] * gmask[None].astype(kv.dtype)
-    kvz = jnp.concatenate([kv, zmat], axis=-1)                   # (n, C, 2C)
-    a1 = h @ s1["mlp_fc1"]["kernel"][:C]                         # (n, N, 2C)
+    q, kvz, a1 = _stage1_factors(s1, h, h + pos1, nhead)
     pos2 = jax.nn.relu(xyz @ s2["pos_mlp"]["fc1"]["kernel"]
                        + s2["pos_mlp"]["fc1"]["bias"])
     pos2 = pos2 @ s2["pos_mlp"]["fc2"]["kernel"] + s2["pos_mlp"]["fc2"]["bias"]
@@ -386,21 +404,7 @@ def image_grid_factors(params: Dict[str, Any], h: jnp.ndarray, nhead: int
     """Per-object factors for the image head (CrossLinAttn — no pos-MLP):
     (q, kvz, a1) with the same conventions as grid_factors, computed on the
     TRUE token count (callers pad the outputs to a sublane multiple)."""
-    s1 = params["cross_stage1"]
-    n, S, C = h.shape
-    D = C // nhead
-
-    q = _elu1(h @ s1["q_proj"]["kernel"])                        # (n, S, C)
-    k = _elu1(h @ s1["k_proj"]["kernel"])
-    v = h @ s1["v_proj"]["kernel"]
-    kv = jnp.einsum("bnc,bnd->bcd", k, v)                        # (n, C, C)
-    rr = jnp.arange(C)[:, None] // D
-    cc = jnp.arange(C)[None, :] // D
-    gmask = (rr == cc)
-    kv = kv * gmask.astype(kv.dtype)                             # block-diag
-    zmat = k.sum(axis=1)[:, :, None] * gmask[None].astype(kv.dtype)
-    kvz = jnp.concatenate([kv, zmat], axis=-1)                   # (n, C, 2C)
-    a1 = h @ s1["mlp_fc1"]["kernel"][:C]                         # (n, S, 2C)
+    q, kvz, a1 = _stage1_factors(params["cross_stage1"], h, h, nhead)
     dt = h.dtype
     return q.astype(dt), kvz.astype(dt), a1.astype(dt)
 
@@ -453,12 +457,7 @@ def sharded_image_grid_logits(model, variables, h_t, h_d, mesh,
     tracks replicated, zero collectives — the image analog of
     sharded_grid_logits (same divisibility contract: nd % (mesh.size * 8))."""
     from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map                   # jax >= 0.4.35
-        no_check_kw = {"check_vma": False}
-    except ImportError:                             # pragma: no cover
-        from jax.experimental.shard_map import shard_map
-        no_check_kw = {"check_rep": False}
+    shard_map, no_check_kw = _shard_map_nocheck()
 
     n_dev = mesh.size
     nd = h_d.shape[0]
@@ -519,14 +518,7 @@ def sharded_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
     device_puts explicitly.
     """
     from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map                   # jax >= 0.4.35
-        no_check_kw = {"check_vma": False}
-    except ImportError:                             # pragma: no cover
-        # the experimental module predates the check_vma rename and only
-        # accepts check_rep — pass the matching kwarg per import path
-        from jax.experimental.shard_map import shard_map
-        no_check_kw = {"check_rep": False}
+    shard_map, no_check_kw = _shard_map_nocheck()
 
     n_dev = mesh.size
     nd = h_d.shape[0]

@@ -230,3 +230,25 @@ def test_image_batch_oversized_stored_crops(tmp_path):
     batch, ok = store.load_image_batch([(tok, frame)])
     assert batch.shape == (1, 3, 10, 10) and ok[0] == 1
     np.testing.assert_array_equal(batch[0], store.load_image(tok, frame))
+
+
+def test_image_batch_undersized_missing_soft_fails(tmp_path):
+    """Per-item parity: a MISSING file on an undersized-stored record
+    soft-fails to zeros (load_image catches FileNotFoundError before the
+    undersize check); an EXISTING undersized crop still fails fast."""
+    from point_cloud_reid_tpu.data import CropStore, SyntheticStore
+    syn = SyntheticStore(num_objects=8, frames_per_obj=3, seed=9,
+                         with_images=True, crop_size=(6, 6))
+    syn.save(str(tmp_path))
+    store = CropStore(str(tmp_path), min_points=5, crop_size=(10, 10))
+    tok = next(t for t, r in store.objects.items() if not r.is_fp)
+    frames = store.filtered_frames(store.objects[tok])
+    assert len(frames) >= 2
+    path = os.path.join(store._frame_dir(store.objects[tok], frames[0]),
+                        "img_crop.bin")
+    os.remove(path)
+    batch, ok = store.load_image_batch([(tok, frames[0])])
+    assert ok[0] == -1 and np.all(batch[0] == 0)
+    np.testing.assert_array_equal(batch[0], store.load_image(tok, frames[0]))
+    with pytest.raises(ValueError):
+        store.load_image_batch([(tok, frames[1])])   # file exists, too small
