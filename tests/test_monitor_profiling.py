@@ -74,3 +74,28 @@ def test_trace_context(tmp_path):
     # a profile dump was written under the log dir
     found = [f for _, _, files in os.walk(log_dir) for f in files]
     assert found, "trace_context produced no profile artifacts"
+
+
+def test_launcher_dry_run_and_job_file(tmp_path, capsys):
+    """tools/launcher.py (launcher_training.py equivalent): job-file parsing,
+    dry-run command construction, result JSON."""
+    import json
+    import sys
+    sys.path.insert(0, "tools")
+    import importlib
+    launcher = importlib.import_module("launcher")
+
+    jobs = [{"experiment": "pts_pointnet_point-cat_nus_det_4x256_500e",
+             "args": ["--epochs", "1"]}]
+    jf = tmp_path / "jobs.json"
+    jf.write_text(json.dumps(jobs))
+    launcher.main(["--jobs", str(jf), "--dry-run"])
+    out = capsys.readouterr()
+    results = json.loads(out.out)
+    assert results == [{"job": jobs[0], "status": "dry-run"}]
+    assert "pts_pointnet_point-cat_nus_det_4x256_500e" in out.err
+
+    # default matrix dry-runs 3 released point models
+    launcher.main(["--dry-run"])
+    results = json.loads(capsys.readouterr().out)
+    assert len(results) == 3
