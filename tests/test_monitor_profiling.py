@@ -99,3 +99,41 @@ def test_launcher_dry_run_and_job_file(tmp_path, capsys):
     launcher.main(["--dry-run"])
     results = json.loads(capsys.readouterr().out)
     assert len(results) == 3
+
+
+def test_test_cli_end_to_end(tmp_path, capsys):
+    """tools/test.py: checkpoint-eval entry produces the stratified JSON
+    report (reference tools/test.py / testing_* configs, SURVEY §4.1)."""
+    import importlib
+    import json as _json
+    import sys
+    sys.path.insert(0, "tools")
+    train_mod = importlib.import_module("train")
+    test_mod = importlib.import_module("test")
+
+    exp = "pts_point-transformer_point-cat_nus_det_4x256_500e"
+    work = str(tmp_path / "run")
+    # 1 tiny synthetic epoch -> checkpoint on disk
+    train_mod.main([exp, "--epochs", "1", "--synthetic-objects", "30",
+                    "--work-dir", work, "--seed", "0",
+                    "--set", "model.backbone.mul=1",
+                    "--set", "model.backbone_list=[8,4,2]",
+                    "--set", "dataset.train.subsample_sparse=16",
+                    "--set", "dataset.val.subsample_sparse=16"])
+    ckpt = os.path.join(work, "ckpt_final")
+    assert os.path.isdir(ckpt)
+    capsys.readouterr()
+
+    out = str(tmp_path / "eval")
+    test_mod.main([exp, "--checkpoint", ckpt, "--work-dir", out,
+                   "--synthetic-objects", "30", "--seed", "0",
+                   "--set", "model.backbone.mul=1",
+                   "--set", "model.backbone_list=[8,4,2]",
+                   "--set", "dataset.train.subsample_sparse=16",
+                   "--set", "dataset.val.subsample_sparse=16"])
+    printed = _json.loads(capsys.readouterr().out)
+    assert "val_match_acc" in printed
+    report = _json.load(open(os.path.join(out, "eval_results_full.json")))
+    assert "val_match_acc" in report
+    # stratified sections present (per-class + bucket families)
+    assert any(k.startswith("val_match_acc_") for k in report)
