@@ -93,6 +93,17 @@ class CropStore:
         if os.path.exists(tok_map):
             with open(tok_map, "rb") as f:
                 self.token_to_int = pickle.load(f)
+            # fail fast at load: a staged mapping that misses a TP token
+            # (wrong split's instance_token_to_id.pkl, import without
+            # --split-map) would otherwise KeyError mid-epoch deep inside a
+            # loader worker (PairDataset._int_id)
+            missing = [t for t, r in self.objects.items()
+                       if not r.is_fp and t not in self.token_to_int]
+            if missing:
+                raise ValueError(
+                    f"token_to_int.pkl at {root} is missing {len(missing)} "
+                    f"TP object token(s) present in objects.pkl (first: "
+                    f"{missing[0]!r}) — staged from the wrong split?")
         else:
             self.token_to_int = {tok: i
                                  for i, tok in enumerate(sorted(self.objects))}

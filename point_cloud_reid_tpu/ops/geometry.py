@@ -58,8 +58,11 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray,
     poorly on TPU, matmuls ride the MXU. The rewrite is EXACT (each one-hot
     row has a single 1.0, so the contraction reproduces the gathered value
     bit-for-bit; asserted on hardware). Falls back to take_along_axis for
-    integer dtypes, CPU, or when a single (B, K, N) selector SLICE would
-    exceed 1 GiB even after splitting K 8 ways.
+    integer dtypes, CPU, N > 4096 (jit traces GLOBAL shapes — pod-scale DP
+    batches must still pick the MXU path per device, and one-hot goes
+    compute-bound past N~2048 where native catches up), or when a single
+    (B, K, N) selector SLICE would exceed 1 GiB even after splitting K 64
+    ways.
 
     The per-selector budget is 1 GiB, not the round-2 256 MB: at the
     flagship TRAIN shapes the old guard forced SA1/SA2 onto native gathers
@@ -67,7 +70,7 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray,
     v5e bf16 — SA1 (512,128,128) x idx (512,128,32): take 20.6 ms fwd /
     34.3 ms scatter-vjp vs one-hot 3.3 / 3.3; SA2 (512,128,256) x
     (512,64,48): 17.8 / 29.9 vs 2.8 / 2.8 — XLA's native scatter runs at
-    ~6 GB/s effective). Selectors above the budget are split into <=8 equal
+    ~6 GB/s effective). Selectors above the budget are split into <=64 equal
     UNROLLED K-slices, each its own one-hot einsum writing an adjacent
     output slice (no lax.scan, no layout shuffles — a scanned variant
     measured slower than native); this keeps B=512+ training batches on the

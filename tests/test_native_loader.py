@@ -252,3 +252,23 @@ def test_image_batch_undersized_missing_soft_fails(tmp_path):
     np.testing.assert_array_equal(batch[0], store.load_image(tok, frames[0]))
     with pytest.raises(ValueError):
         store.load_image_batch([(tok, frames[1])])   # file exists, too small
+
+
+def test_token_map_coverage_fail_fast(tmp_path):
+    """A staged token_to_int.pkl that misses a TP token must fail at store
+    LOAD, not as a KeyError deep inside epoch-1 sampling."""
+    import pickle
+    from point_cloud_reid_tpu.data import CropStore, SyntheticStore
+    syn = SyntheticStore(num_objects=10, frames_per_obj=3, seed=3)
+    syn.save(str(tmp_path))
+    tps = sorted(t for t, r in syn.objects.items() if not r.is_fp)
+    bad_map = {t: i for i, t in enumerate(tps[1:])}       # drop one TP token
+    with open(tmp_path / "token_to_int.pkl", "wb") as f:
+        pickle.dump(bad_map, f)
+    with pytest.raises(ValueError, match="missing 1 TP object token"):
+        CropStore(str(tmp_path), min_points=5)
+    # complete map loads fine
+    with open(tmp_path / "token_to_int.pkl", "wb") as f:
+        pickle.dump({t: i for i, t in enumerate(tps)}, f)
+    store = CropStore(str(tmp_path), min_points=5)
+    assert store.token_to_int[tps[0]] == 0

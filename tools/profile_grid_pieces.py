@@ -14,19 +14,18 @@ Usage: python tools/profile_grid_pieces.py [det_block]
 """
 from __future__ import annotations
 
-import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 
-os.makedirs("/root/.cache/jax_comp_tpu", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from _bench import bench, setup_cache
+
+setup_cache()
 
 
 def main():
@@ -64,16 +63,9 @@ def main():
         no_s2_ffn_ln=frozenset({"stage2", "ffn", "ln"}),
     )
     for name, skip in variants.items():
-        fn = jax.jit(lambda v, a, b, c, d, s=skip: pallas_grid_logits(
+        fn = (lambda v, a, b, c, d, s=skip: pallas_grid_logits(
             model, v, a, b, c, d, det_block=det_block, debug_skip=s))
-        out = fn(variables, h_t, xyz_t, h_d, xyz_d)
-        float(jnp.sum(out))
-        t0 = time.perf_counter()
-        for _ in range(30):
-            out = fn(variables, h_t, xyz_t, h_d, xyz_d)
-        float(jnp.sum(out))
-        dt = (time.perf_counter() - t0) / 30
-        print(json.dumps(dict(name=name, ms=round(dt * 1e3, 3))), flush=True)
+        bench(name, fn, (variables, h_t, xyz_t, h_d, xyz_d), n=30)
 
 
 if __name__ == "__main__":

@@ -5,16 +5,16 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 
-os.makedirs("/root/.cache/jax_comp_tpu", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from _bench import bench, setup_cache
+
+setup_cache()
 
 
 def _sync(x):
@@ -61,18 +61,12 @@ def main():
     _sync(ref)
     out = pallas_grid(variables, h_t, xyz_t, h_d, xyz_d)
     _sync(out)
-    import numpy as np
     diff = float(jnp.max(jnp.abs(out.astype(jnp.float32)
                                  - ref.astype(jnp.float32))))
     scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
-    for name, fn in (("xla_grid", xla_grid), ("pallas_grid", pallas_grid)):
-        t0 = time.perf_counter()
-        for _ in range(30):
-            m = fn(variables, h_t, xyz_t, h_d, xyz_d)
-        _sync(m)
-        dt = (time.perf_counter() - t0) / 30
-        print(json.dumps(dict(name=name, ms=round(dt * 1e3, 3),
-                              det_block=det_block)), flush=True)
+    args = (variables, h_t, xyz_t, h_d, xyz_d)
+    bench(f"xla_grid/bd{det_block}", xla_grid, args, n=30, jit=False)
+    bench(f"pallas_grid/bd{det_block}", pallas_grid, args, n=30, jit=False)
     print(json.dumps(dict(name="max_abs_diff", value=diff, ref_scale=scale)),
           flush=True)
 

@@ -11,35 +11,28 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 
-os.makedirs("/root/.cache/jax_comp_tpu", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from _bench import bench as _hbench, setup_cache
+
+setup_cache()
 
 
 def bench(name, step, dtype, chain=600, m=8192, c=128, n_iters=20):
     x = jax.random.normal(jax.random.PRNGKey(0), (m, c), dtype)
     s = jax.random.normal(jax.random.PRNGKey(1), (1, c), dtype)
 
-    @jax.jit
     def f(x, s):
         for _ in range(chain):
             x = step(x, s)
         return x
 
-    compiled = f.lower(x, s).compile()
-    float(jnp.sum(compiled(x, s)))
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = compiled(x, s)
-    float(jnp.sum(out))
-    dt = (time.perf_counter() - t0) / n_iters
+    dt, _ = _hbench(f"{name}/{dtype.__name__}", f, (x, s), n=n_iters)
     gelem = m * c * chain / dt / 1e9
     print(json.dumps(dict(name=name, dtype=str(dtype.__name__),
                           gelem_per_s=round(gelem, 1),
