@@ -7,7 +7,7 @@ the density-matched negative mining in both train and val samplers.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

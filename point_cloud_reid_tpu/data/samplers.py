@@ -35,11 +35,11 @@ Design deltas from the reference (documented, deliberate):
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from .buckets import DensityBuckets, POW2_BUCKETS, bucket_of
+from .buckets import DensityBuckets, bucket_of
 from .pipeline import subsample_pc_np
 from .store import FakeCompleteStore
 

@@ -21,7 +21,7 @@ works directly (make_tup_str equivalent).
 from __future__ import annotations
 
 import itertools
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import numpy as np
 

@@ -31,7 +31,7 @@ match_forward_inference on the class-wise cartesian product, scattered into an
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

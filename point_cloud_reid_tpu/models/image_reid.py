@@ -8,7 +8,7 @@ the reference's (B, C, N) permutes vanish.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax

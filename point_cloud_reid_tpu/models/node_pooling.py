@@ -18,7 +18,7 @@ released checkpoint contains them; the converter would skip them anyway).
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -7,7 +7,7 @@ in configs_reid reidentifier files.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp

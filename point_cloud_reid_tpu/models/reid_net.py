@@ -25,7 +25,7 @@ the reference's missing-target bce call there is a documented bug we fix).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -9,7 +9,6 @@ point_cloud_reid_tpu.ops.pallas.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -59,7 +59,7 @@ batch stats, and gradients for every input and parameter).
 from __future__ import annotations
 
 import functools
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

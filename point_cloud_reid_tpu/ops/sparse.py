@@ -16,7 +16,7 @@ the TPU-native replacement for spconv's indice_pairs (include/spconv/*.h).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

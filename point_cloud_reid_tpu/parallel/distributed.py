@@ -11,7 +11,7 @@ eval-metric gather over collectives instead of the filesystem.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -9,7 +9,7 @@ constant-velocity is the closed-form default used by TrackingManager.
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax
