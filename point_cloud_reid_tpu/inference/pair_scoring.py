@@ -148,16 +148,6 @@ def _round_up(n: int, sizes=(8, 16, 32, 64, 128, 256, 512)) -> int:
     return int(2 ** np.ceil(np.log2(max(n, 1))))
 
 
-def _pair_grid(a: jnp.ndarray, b: jnp.ndarray, nt: int, nd: int):
-    """Broadcast per-object tensors to the flattened (nt*nd, ...) pair batch
-    (XLA fuses the expand+reshape into the first matmul's loads)."""
-    pa = jnp.broadcast_to(a[:, None], (nt, nd) + a.shape[1:]
-                          ).reshape((nt * nd,) + a.shape[1:])
-    pb = jnp.broadcast_to(b[None, :], (nt, nd) + b.shape[1:]
-                          ).reshape((nt * nd,) + b.shape[1:])
-    return pa, pb
-
-
 def _pallas_grid_ok(model, image_mode: bool, interpret: bool = False) -> bool:
     """Fused match-grid kernel eligibility: the flagship head shape
     (xcorr_eff / point-cat / both-pool, linear attention) whose per-pair
@@ -410,12 +400,6 @@ class PairScorer:
             toks = self._embed(self.variables, crops)
             return None, toks
         return self._embed(self.variables, crops)
-
-    def embed_image_tokens(self, h):
-        """Apply the per-token downsample MLP used before matching
-        (ReIDNet.py:1232-1237)."""
-        return self.model.apply(self.variables, h, train=False,
-                                method="downsample_tokens")
 
     # ---- scoring stage --------------------------------------------------------
 
