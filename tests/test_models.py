@@ -159,3 +159,58 @@ def test_sa_edge_split_matches_materialized():
     np.testing.assert_array_equal(np.asarray(xs), np.asarray(xn))
     np.testing.assert_allclose(np.asarray(hs), np.asarray(hn),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_bf16_mixed_precision_train_step():
+    """--bf16 mixed precision (tools/train.py:115): bf16 compute dtype with
+    f32 params (flax dtype vs param_dtype split; reference Fp16OptimizerHook
+    + LossScaler, apis/train.py:81-94 — no loss scaling needed for bf16).
+    One train step must keep every param and optimizer-state leaf in f32 and
+    produce finite loss/grad-norm."""
+    from point_cloud_reid_tpu.models import build_model
+    from point_cloud_reid_tpu.train import (TrainState, build_optimizer,
+                                            make_train_step)
+    from point_cloud_reid_tpu.train.schedules import ScheduleConfig
+
+    cfg = dict(
+        type="ReIDNet",
+        backbone=dict(type="Pointnet_Backbone", input_channels=0,
+                      use_xyz=True, conv_out=8, mul=1, nsample=[4, 4, 4]),
+        match_head=[dict(type="LinearRes", n_in=16, n_out=16, norm="GN",
+                         ng=8),
+                    dict(type="Linear", out_features=1)],
+        cross_stage1=dict(type="corss_attention", d_model=8, nhead=2),
+        cross_stage2=dict(type="corss_attention", d_model=8, nhead=2),
+        match_type="xcorr_eff", pool_type="both", combine="point-cat",
+        backbone_list=[8, 4, 2], output_sequence_size=8, hidden_size=16,
+    )
+    model = build_model(cfg, dtype=jnp.bfloat16)
+    r = jax.random.PRNGKey(0)
+    B, Np = 4, 12
+    batch = dict(sparse_1=jax.random.normal(r, (B, Np, 3)),
+                 sparse_2=jax.random.normal(jax.random.PRNGKey(1),
+                                            (B, Np, 3)),
+                 label_1=jnp.zeros((B,), jnp.int32),
+                 label_2=jnp.ones((B,), jnp.int32),
+                 id_1=jnp.arange(B, dtype=jnp.int32),
+                 id_2=jnp.arange(B, dtype=jnp.int32) % 3)
+    tx = build_optimizer(ScheduleConfig(max_epochs=1), steps_per_epoch=2)
+    state = TrainState.create(model, tx, batch, rng=jax.random.PRNGKey(2))
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32
+    step = jax.jit(make_train_step(model, tx, dict(match=True), {},
+                                   donate=False))
+    new_state, log = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(log["reid_loss"]))
+    assert np.isfinite(float(log["grad_norm"]))
+    for leaf in jax.tree_util.tree_leaves(new_state.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(new_state.opt_state):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                     jnp.floating):
+            assert leaf.dtype == jnp.float32
+    # bf16 compute actually engaged: the eval forward emits bf16 logits
+    out = model.apply({"params": state.params,
+                       "batch_stats": state.batch_stats},
+                      batch, train=False)
+    assert out["match_logits"].dtype == jnp.bfloat16
