@@ -59,16 +59,37 @@ class BatchLoader:
 
     Args:
         dataset: PairDataset/ValEvenPairs.
-        batch_size: per-host batch.
+        batch_size: GLOBAL batch; with num_shards > 1 each process yields its
+            batch_size/num_shards contiguous block of every global batch.
         shuffle: iterate a permutation of the index space each epoch.
         drop_last: drop the trailing partial batch (required under jit).
+        shard_id/num_shards: multi-process data partitioning — the
+            DistributedSampler equivalent (reference apis/train.py:34-45).
+            Every process plans the same global index order (same seed/epoch)
+            and takes its contiguous slice of each batch, matching the
+            process-local row blocks shard_batch/make_array_from_
+            process_local_data assemble (parallel/mesh.py:54). Without this,
+            multi-process training would feed every sample process_count
+            times.
         transform: optional fn(batch_dict) -> batch_dict (e.g. device put).
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0,
                  num_threads: int = 2, prefetch: int = 4,
+                 shard_id: int = 0, num_shards: int = 1,
                  transform: Optional[Callable] = None):
+        if num_shards > 1:
+            if batch_size % num_shards:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"num_shards={num_shards}")
+            if not drop_last:
+                raise ValueError("num_shards > 1 requires drop_last=True "
+                                 "(a ragged tail batch cannot be sharded "
+                                 "evenly across processes)")
+            if not 0 <= shard_id < num_shards:
+                raise ValueError((shard_id, num_shards))
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -76,6 +97,8 @@ class BatchLoader:
         self.seed = seed
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self.transform = transform
         self.epoch = 0
 
@@ -106,6 +129,19 @@ class BatchLoader:
         window = threading.Condition()
         delivered = [0]
 
+        def bounded_put(item) -> bool:
+            # a consumer that aborted (stop set) drains the queue once and
+            # leaves; with num_threads > prefetch that single drain can race
+            # with putters mid-wakeup and strand the rest on a full queue
+            # forever — so never block on put without re-checking stop
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
         def worker(worker_id: int):
             for b in range(worker_id, nb, self.num_threads):
                 # bound total in-flight batches: without this gate a slow
@@ -118,6 +154,10 @@ class BatchLoader:
                 if stop.is_set():
                     return
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                if self.num_shards > 1:
+                    per = self.batch_size // self.num_shards
+                    idxs = idxs[self.shard_id * per:
+                                (self.shard_id + 1) * per]
                 try:
                     if use_batch_load:
                         # whole batch read+resampled by the C++ thread pool
@@ -131,9 +171,10 @@ class BatchLoader:
                 except BaseException as e:   # propagate instead of deadlock:
                     # a dead worker would leave the consumer blocked on
                     # q.get() forever waiting for this batch index
-                    q.put((b, e))
+                    bounded_put((b, e))
                     return
-                q.put((b, batch))
+                if not bounded_put((b, batch)):
+                    return
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(self.num_threads)]

@@ -96,6 +96,7 @@ class SetAbstractionEdgeSA(nn.Module):
                 stats[f"mlp_{i}"] = {"bn": blk.bn.variables["batch_stats"]}
             h = sa_stage_inference(xyz, points, idx, params, stats,
                                    dtype=self.dtype,
+                                   eps=float(blocks[0].bn.epsilon),
                                    interpret=self.pallas_interpret)
             h = SelfAttentionBlock(self.mlp[-1], nhead=2, dtype=self.dtype,
                                    name="self_attention")(h, new_xyz)

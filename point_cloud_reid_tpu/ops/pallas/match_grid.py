@@ -245,6 +245,7 @@ def fused_match_grid(h_t: jnp.ndarray, qt: jnp.ndarray, kvzt: jnp.ndarray,
                      nhead: int, det_block: int = 8,
                      interpret: bool = False,
                      n_true: int = 0,
+                     vmem_limit_mb: int = 20,
                      debug_skip: frozenset = frozenset()) -> jnp.ndarray:
     """All-pairs pooled match features.
 
@@ -322,8 +323,10 @@ def fused_match_grid(h_t: jnp.ndarray, qt: jnp.ndarray, kvzt: jnp.ndarray,
     # VMEM but over the 16 MB default scoped limit (a 100 MB limit makes the
     # Mosaic allocator thrash, 25x slower — keep it tight).  Fewer, bigger
     # cells amortize per-op issue overhead, the dominant cost at C=64 widths.
+    # Image blocks carry ~1.6x the rows (200 padded tokens), so callers bump
+    # vmem_limit_mb when they raise det_block past 16 there.
     params = (None if interpret else
-              pltpu.CompilerParams(vmem_limit_bytes=20 * 1024 * 1024))
+              pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_mb * 1024 * 1024))
     return pl.pallas_call(
         kern,
         grid=(nb, nt),
@@ -409,6 +412,17 @@ def image_grid_factors(params: Dict[str, Any], h: jnp.ndarray, nhead: int
     return q.astype(dt), kvz.astype(dt), a1.astype(dt)
 
 
+def _divisor_block(det_block: int, local_nd: int) -> int:
+    """Largest block <= det_block that divides local_nd. The kernel needs
+    whole det blocks per grid cell; a bare min() clamp can hand it a
+    non-divisor (e.g. det_block=16 with 24 local dets) and trip the
+    fused_match_grid divisibility assert at trace time."""
+    b = max(1, min(det_block, local_nd))
+    while local_nd % b:
+        b -= 1
+    return b
+
+
 def _pad_tokens(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     """Zero-pad the token axis (axis 1) to n_pad rows."""
     s = x.shape[1]
@@ -418,8 +432,8 @@ def _pad_tokens(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
 
 
 def pallas_image_grid_logits(model, variables, h_t, h_d,
-                             det_block: int = 8, interpret: bool = False
-                             ) -> jnp.ndarray:
+                             det_block: int = 8, interpret: bool = False,
+                             vmem_limit_mb: int = 20) -> jnp.ndarray:
     """Image-branch pallas grid scorer: the same fused per-pair kernel as the
     point path, minus the pos-MLP terms (CrossLinAttn, attention.py:312-370
     has none). Token sequences (S=198 for DeiT-distilled) are zero-padded to
@@ -442,7 +456,7 @@ def pallas_image_grid_logits(model, variables, h_t, h_d,
         _pad_tokens(h_d, n_pad), _pad_tokens(qd, n_pad), kvzd,
         _pad_tokens(ad1, n_pad), None,
         w1, w2, nhead, det_block, interpret,
-        n_true=(S if S != n_pad else 0))
+        n_true=(S if S != n_pad else 0), vmem_limit_mb=vmem_limit_mb)
     nt, nd = h_t.shape[0], h_d.shape[0]
     logits = model.apply(
         variables, pooled.reshape(nt * nd, pooled.shape[-1]),
@@ -467,7 +481,8 @@ def sharded_image_grid_logits(model, variables, h_t, h_d, mesh,
     def local(h_t, h_d):
         return pallas_image_grid_logits(
             model, variables, h_t, h_d,
-            det_block=min(det_block, nd // n_dev), interpret=interpret)
+            det_block=_divisor_block(det_block, nd // n_dev),
+            interpret=interpret)
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(), P(axes)),
                    out_specs=P(None, axes), **no_check_kw)
@@ -527,7 +542,8 @@ def sharded_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
 
     def local(h_t, xyz_t, h_d, xyz_d):
         return pallas_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
-                                  det_block=min(det_block, nd // n_dev),
+                                  det_block=_divisor_block(det_block,
+                                                           nd // n_dev),
                                   interpret=interpret)
 
     fn = shard_map(local, mesh=mesh,

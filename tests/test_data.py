@@ -107,6 +107,49 @@ def test_batch_loader_shapes_and_order():
     np.testing.assert_array_equal(batches[0]["size_1"], again[0]["size_1"])
 
 
+def test_batch_loader_sharding():
+    """num_shards partitions every global batch into disjoint contiguous
+    blocks that reassemble the unsharded batch — the DistributedSampler
+    contract (reference apis/train.py:34-45) matched to the row layout
+    shard_batch's make_array_from_process_local_data assembles."""
+    ds = make_dataset("train")
+    full = list(BatchLoader(ds, batch_size=8, shuffle=True, seed=0,
+                            num_threads=1))
+    shards = [list(BatchLoader(ds, batch_size=8, shuffle=True, seed=0,
+                               num_threads=1, shard_id=s, num_shards=2))
+              for s in range(2)]
+    assert len(shards[0]) == len(full)
+    for b_full, b0, b1 in zip(full, shards[0], shards[1]):
+        assert b0["size_1"].shape[0] == 4
+        np.testing.assert_array_equal(
+            np.concatenate([b0["size_1"], b1["size_1"]]), b_full["size_1"])
+    with pytest.raises(ValueError):
+        BatchLoader(ds, batch_size=7, num_shards=2)
+    with pytest.raises(ValueError):
+        BatchLoader(ds, batch_size=8, num_shards=2, drop_last=False)
+
+
+def test_batch_loader_abort_unblocks_workers():
+    """A consumer that stops early must not strand workers blocked on the
+    full prefetch queue (num_threads > prefetch; workers use a bounded put
+    that re-checks the stop flag)."""
+    import threading
+    import time
+
+    ds = make_dataset("train")
+    loader = BatchLoader(ds, batch_size=2, shuffle=False, num_threads=8,
+                         prefetch=2)
+    assert len(loader) > 10
+    base = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()                       # GeneratorExit -> finally -> stop.set()
+    deadline = time.time() + 5.0
+    while threading.active_count() > base and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= base
+
+
 def test_image_mode():
     store = SyntheticStore(num_objects=20, frames_per_obj=4, seed=1,
                            with_images=True, crop_size=(16, 16))

@@ -182,6 +182,34 @@ def test_sharded_pallas_grid_matches_xla():
                                 rtol=2e-4, atol=2e-5)
 
 
+def test_sharded_grid_non_divisor_det_block():
+    """det_block is rounded down to a divisor of the per-device det count:
+    nd=192 on 8 devices -> 24 local dets; a requested block of 16 must not
+    trip fused_match_grid's whole-block assert (it becomes 8)."""
+    import numpy as _np
+    from jax.sharding import Mesh
+    from point_cloud_reid_tpu.ops.pallas.match_grid import (
+        _divisor_block, sharded_pallas_grid_logits)
+    assert _divisor_block(16, 24) == 8
+    assert _divisor_block(32, 32) == 32
+    assert _divisor_block(64, 24) == 24
+    if jax.device_count() < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    model, variables = _make()
+    nt, nd, n = 2, 192, 16
+    tracks = jax.random.normal(jax.random.PRNGKey(10), (nt, n, 3))
+    dets = jax.random.normal(jax.random.PRNGKey(11), (nd, n, 3))
+    x_t, h_t = _embed(model, variables, tracks)
+    x_d, h_d = _embed(model, variables, dets)
+    xla = model.apply(variables, h_t, x_t, h_d, x_d, train=False,
+                      method="match_logits_grid")
+    mesh = Mesh(_np.array(jax.devices()[:8]).reshape(8, 1), ("data", "pairs"))
+    out = sharded_pallas_grid_logits(model, variables, h_t, x_t, h_d, x_d,
+                                     mesh, det_block=16, interpret=True)
+    _np.testing.assert_allclose(_np.asarray(out), _np.asarray(xla),
+                                rtol=2e-4, atol=2e-5)
+
+
 def test_cosine_grid_matches_pairwise():
     """ReIDNetCosine.match_logits_grid (one pooled matmul) == per-pair
     cosine scoring."""

@@ -6,7 +6,7 @@ into crop embedding (ViT) + the CrossLinAttn pair grid. This tool times the
 grid alone both ways and the full frame both ways, plus a max-abs-diff parity
 check at the real S=198 token count (in-kernel pad-row masking).
 
-Usage: python tools/profile_image_grid.py [det_block] [NT=64] [ND=64]
+Usage: python tools/profile_image_grid.py [det_block] [NT=64] [ND=64] [vmem_mb=20]
 """
 from __future__ import annotations
 
@@ -34,6 +34,7 @@ def main():
     det_block = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     NT = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     ND = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    vmem_mb = int(sys.argv[4]) if len(sys.argv) > 4 else 20
 
     cfg = get_experiment("rgb_deit-tiny_point-cat_r_nus_det_4x60_200e")
     model = build_model(cfg["model"], dtype=jnp.bfloat16)
@@ -58,7 +59,8 @@ def main():
 
     def pallas_grid(variables, h_t, h_d):
         return pallas_image_grid_logits(model, variables, h_t, h_d,
-                                        det_block=det_block)
+                                        det_block=det_block,
+                                        vmem_limit_mb=vmem_mb)
 
     _, ref = bench("image_xla_grid", xla_grid, (variables, h_t, h_dets))
     _, out = bench("image_pallas_grid", pallas_grid, (variables, h_t, h_dets))

@@ -107,10 +107,14 @@ def build_all(cfg, args):
     # getattr: callers that build their own Namespace (tools/parity_eval.py,
     # tools/test.py) predate this flag
     threads = getattr(args, "loader_threads", None) or max(2, n_dev)
+    # multi-process (multi-host) runs: every process plans the same global
+    # order and loads only its contiguous batch slice — the reference's
+    # per-rank DistributedSampler (apis/train.py:34-45)
+    shard = dict(shard_id=jax.process_index(), num_shards=jax.process_count())
     train_loader = BatchLoader(train_ds, batch_size=batch, shuffle=True,
-                               seed=args.seed, num_threads=threads)
+                               seed=args.seed, num_threads=threads, **shard)
     val_loader = BatchLoader(val_ds, batch_size=batch, shuffle=False,
-                             drop_last=True, num_threads=threads)
+                             drop_last=True, num_threads=threads, **shard)
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = build_model(cfg["model"], dtype=dtype)
