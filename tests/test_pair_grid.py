@@ -80,11 +80,17 @@ def test_grid_fallback_for_concat_head():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_pallas_grid_matches_xla():
+@pytest.mark.parametrize("experiment", [
+    "pts_point-transformer_point-cat_nus_det_4x256_500e",
+    # scaled variant: mul=4 widths — the kernel is shape-parametric, so the
+    # 7M tracker frame routes through the same fused grid
+    "pts_point-transformer-7M_point-cat_nus_det_4x256_500e",
+])
+def test_pallas_grid_matches_xla(experiment):
     """Fused pallas match-grid kernel (interpret mode on CPU) == the XLA
     match_logits_grid path, through the match head."""
     from point_cloud_reid_tpu.ops.pallas.match_grid import pallas_grid_logits
-    model, variables = _make()
+    model, variables = _make(experiment)
     nt, nd, n = 4, 8, 16
     tracks = jax.random.normal(jax.random.PRNGKey(6), (nt, n, 3))
     dets = jax.random.normal(jax.random.PRNGKey(7), (nd, n, 3))
