@@ -223,16 +223,20 @@ def _bench_image_frame():
         frame_fn = scorer.make_frame_fn(NT, ND)
         frame_x, _ = _compile(frame_fn.jitted, variables, h_t, None, crops)
         _sync(frame_x(variables, h_t, None, crops)[0])
-        return frame_x, h_t
+        # record the backend the scorer actually ROUTED, not the request —
+        # a silent pallas-eligibility regression under 'auto' must show up
+        # in the driver artifact
+        return frame_x, h_t, scorer._grid_backend(ND)
 
-    backend_used, kernel_error = "auto", None
+    kernel_error = None
     try:
-        frame_x, h_t = build_frame("auto")       # image pallas grid on TPU
+        frame_x, h_t, backend_used = build_frame("auto")   # pallas on TPU
     except Exception as e:
         # never lose the metric to a kernel regression — fall back to the
         # XLA grid, but RECORD the failure so the driver artifact shows it
-        backend_used, kernel_error = "xla-fallback", str(e)[:120]
-        frame_x, h_t = build_frame("xla")
+        kernel_error = str(e)[:120]
+        frame_x, h_t, _ = build_frame("xla")
+        backend_used = "xla-fallback"
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):

@@ -191,16 +191,18 @@ class CropStore:
                 self._frame_dir(self.objects[pairs[b][0]], pairs[b][1]),
                 "img_crop.bin") for b in idxs]
             if stored[0] < H or stored[1] < W:
-                # per-item parity (load_image): a MISSING file soft-fails to
-                # zeros before the undersize check ever runs; an existing
-                # undersized crop fails fast
+                # per-item parity (load_image): a MISSING or truncated file
+                # soft-fails to zeros (its reshape ValueError is caught)
+                # before the undersize check ever runs; only a crop that
+                # actually reads complete at the stored size fails fast
+                nbytes = 4 * 3 * stored[0] * stored[1]
                 for b, p in zip(idxs, paths):
-                    if os.path.exists(p):
+                    if os.path.exists(p) and os.path.getsize(p) == nbytes:
                         o, f = pairs[b]
                         raise ValueError(
                             f"stored crop {stored} for {o}/{f} is smaller "
                             f"than loader crop_size {self.crop_size}")
-                continue                       # all missing -> zeros, ok=-1
+                continue             # all missing/short -> zeros, ok=-1
             blobs, g_ok = native.load_blob_batch(paths, (3,) + stored)
             out[idxs] = blobs[:, :, :H, :W]
             ok[idxs] = g_ok

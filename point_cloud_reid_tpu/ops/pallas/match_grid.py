@@ -413,11 +413,19 @@ def image_grid_factors(params: Dict[str, Any], h: jnp.ndarray, nhead: int
 
 
 def _divisor_block(det_block: int, local_nd: int) -> int:
-    """Largest block <= det_block that divides local_nd. The kernel needs
-    whole det blocks per grid cell; a bare min() clamp can hand it a
-    non-divisor (e.g. det_block=16 with 24 local dets) and trip the
-    fused_match_grid divisibility assert at trace time."""
-    b = max(1, min(det_block, local_nd))
+    """Largest block <= det_block that divides local_nd, preferring sublane
+    alignment. The kernel needs whole det blocks per grid cell (a bare min()
+    clamp can hand it a non-divisor, e.g. det_block=16 with 24 local dets),
+    and its (1, bd, 2C) out block wants bd to be a multiple of Mosaic's
+    8-row sublane tile — so an aligned divisor (8 for 16/24) wins over a
+    larger unaligned one (12). When local_nd has no aligned divisor at all
+    (tiny dryrun grids like 4 dets/device), fall back to the largest plain
+    divisor; those shapes only run in interpret mode."""
+    hi = max(1, min(det_block, local_nd))
+    aligned = [b for b in range(8, hi + 1, 8) if local_nd % b == 0]
+    if aligned:
+        return aligned[-1]
+    b = hi
     while local_nd % b:
         b -= 1
     return b

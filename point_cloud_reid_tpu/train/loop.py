@@ -57,10 +57,11 @@ def make_train_step(model, tx: optax.GradientTransformation,
     2048-point dense ablations), not for speed. Note the mul=4 forward's own
     working peak exceeds 16 GB at B=1024 with or without remat.
 
-    Measured at B=256 flagship: 122 ms / 2,099 samples/s (~0.25 MFU) after
-    the train-scale one-hot gather routing (ops/geometry.index_points; the
-    earlier 184 ms "HBM-roof" reading was a native-gather artifact —
-    tools/profile_gather.py). Two selective-remat attempts were measured
+    Measured at B=256 flagship: 115.4 ms / 2,219 samples/s (MFU 0.261,
+    803.6 GB/s ~= 98% of v5e's theoretical HBM BW — memory-roofline-bound)
+    after the train-scale one-hot gather routing (ops/geometry.index_points)
+    plus the A/Ct-form conv1 edge factoring; the earlier 184 ms "HBM-roof"
+    reading was a native-gather artifact — tools/profile_gather.py. Two selective-remat attempts were measured
     and rejected: a whole-loss policy checkpoint (save_anything_except_
     these_names on the grouped (B,S,K,C) tensors) makes every recomputed
     tensor live at once (37 GB > 16 GB HBM at B=256), and nn.remat around

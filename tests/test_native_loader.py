@@ -253,6 +253,16 @@ def test_image_batch_undersized_missing_soft_fails(tmp_path):
     with pytest.raises(ValueError):
         store.load_image_batch([(tok, frames[1])])   # file exists, too small
 
+    # a TRUNCATED undersized crop also soft-fails in both paths — load_image
+    # catches its reshape ValueError inside the zeros-fallback try
+    path2 = os.path.join(store._frame_dir(store.objects[tok], frames[1]),
+                         "img_crop.bin")
+    with open(path2, "r+b") as fh:
+        fh.truncate(os.path.getsize(path2) // 2)
+    batch, ok = store.load_image_batch([(tok, frames[1])])
+    assert ok[0] == -1 and np.all(batch[0] == 0)
+    np.testing.assert_array_equal(batch[0], store.load_image(tok, frames[1]))
+
 
 def test_token_map_coverage_fail_fast(tmp_path):
     """A staged token_to_int.pkl that misses a TP token must fail at store
