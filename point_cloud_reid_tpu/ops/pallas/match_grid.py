@@ -441,7 +441,9 @@ def _pad_tokens(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
 
 def pallas_image_grid_logits(model, variables, h_t, h_d,
                              det_block: int = 8, interpret: bool = False,
-                             vmem_limit_mb: int = 20) -> jnp.ndarray:
+                             vmem_limit_mb: int = 20,
+                             debug_skip: frozenset = frozenset()
+                             ) -> jnp.ndarray:
     """Image-branch pallas grid scorer: the same fused per-pair kernel as the
     point path, minus the pos-MLP terms (CrossLinAttn, attention.py:312-370
     has none). Token sequences (S=198 for DeiT-distilled) are zero-padded to
@@ -464,7 +466,8 @@ def pallas_image_grid_logits(model, variables, h_t, h_d,
         _pad_tokens(h_d, n_pad), _pad_tokens(qd, n_pad), kvzd,
         _pad_tokens(ad1, n_pad), None,
         w1, w2, nhead, det_block, interpret,
-        n_true=(S if S != n_pad else 0), vmem_limit_mb=vmem_limit_mb)
+        n_true=(S if S != n_pad else 0), vmem_limit_mb=vmem_limit_mb,
+        debug_skip=debug_skip)
     nt, nd = h_t.shape[0], h_d.shape[0]
     logits = model.apply(
         variables, pooled.reshape(nt * nd, pooled.shape[-1]),
