@@ -279,11 +279,13 @@ def _bench_tracker_e2e(model, variables):
 
 
 def _bench_input_pipeline():
-    """BatchLoader over a materialized on-disk store — the native C++
-    batched-read path that feeds real training. 4 worker threads (half the
-    tools/train.py default for an 8-chip mesh), flagship batch size, several
-    epochs over a ~2.7k-pair store so the number reflects steady-state
-    multi-batch throughput rather than one cold batch."""
+    """BatchLoader over a materialized on-disk store — the vectorized pair
+    planner + strided native C++ batched reads that feed real training.
+    Measured at the MESH-GLOBAL batch (8 chips x 256/chip = 2048): one host
+    process must feed the whole v5e-8 data-parallel mesh (the reference's
+    per-GPU worker subprocesses, apis/train.py:34-45). Several epochs over a
+    ~2.7k-pair store so the number reflects steady-state multi-batch
+    throughput rather than one cold batch."""
     from point_cloud_reid_tpu.data import (BatchLoader, CropStore,
                                            PairDataset, SyntheticStore)
 
@@ -298,12 +300,12 @@ def _bench_input_pipeline():
                      tracking_classes={c: c for c in classes},
                      subsample_sparse=128, seed=0)
     assert ds.supports_batch_load
-    loader = BatchLoader(ds, batch_size=256, shuffle=True, seed=0,
-                         num_threads=4, drop_last=True)
+    loader = BatchLoader(ds, batch_size=2048, shuffle=True, seed=0,
+                         num_threads=2, drop_last=True)
     list(loader)                           # warm page cache + thread pool
     n_samples = 0
     t0 = time.perf_counter()
-    for epoch in (1, 2):
+    for epoch in range(1, 7):
         loader.set_epoch(epoch)
         for batch in loader:
             n_samples += batch["sparse_1"].shape[0]
@@ -363,6 +365,9 @@ def main():
         if secondary.get("train_samples_per_sec"):
             secondary["input_vs_train_step"] = round(
                 input_sps / secondary["train_samples_per_sec"], 3)
+            # can ONE host feed a full v5e-8 DP mesh? (>1 = yes)
+            secondary["input_vs_mesh_demand"] = round(
+                input_sps / (secondary["train_samples_per_sec"] * 8), 3)
     except Exception as e:
         secondary.update(input_pipeline_samples_per_sec=None,
                          input_error=str(e)[:120])

@@ -11,13 +11,14 @@ Rebuilds the reference's dataset stack (SURVEY.md §2.3) without lamtk/mmcv:
 from .buckets import DensityBuckets, POW2_BUCKETS
 from .pipeline import subsample_pc_np, collate_pairs, BatchLoader
 from .samplers import (PairDataset, ValEvenPairs, ValErrPairs,
-                       ClassBalancedPairs, TrackingErrorsSampler,
-                       build_pair_dataset)
+                       ClassBalancedPairs, ConcatPairs, RepeatPairs,
+                       TrackingErrorsSampler, build_pair_dataset)
 from .store import (CompleteStore, CropStore, FakeCompleteStore,
                     SyntheticStore, ObjectRecord)
 
 __all__ = [
     "DensityBuckets", "POW2_BUCKETS", "subsample_pc_np", "collate_pairs",
     "BatchLoader", "PairDataset", "ValEvenPairs", "build_pair_dataset",
+    "ConcatPairs", "RepeatPairs",
     "CropStore", "SyntheticStore", "ObjectRecord",
 ]

@@ -21,6 +21,13 @@ Design deltas from the reference (documented, deliberate):
     loading is deterministic and order-independent; val pair lists can be
     dumped to JSON for cross-framework parity (SURVEY.md §7 hard part 2
     recommends freezing them as artifacts).
+  * Pair planning is VECTORIZED (round 4): every random decision is a keyed
+    (seed, epoch, index, slot) splitmix64 draw and all static structure —
+    usable frame lists, density CDFs, bucket walks, class candidate chains —
+    is flattened into numpy tables (_PlanTables), so planning a batch is a
+    handful of vectorized hash chains instead of ~150 us/item of Python.
+    The per-item path derives from the same plan_batch, so batch and
+    per-item sampling agree on pair identity by construction.
   * The reference's visibility swap bug (return_item_size_vis assigns v2 to
     vis_1, reidentification_base.py:471) is not carried; neither are the
     dist-slot swap in return_item_size_dist (:487-494) or the size swap in
@@ -39,8 +46,8 @@ from typing import Any, Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from .buckets import DensityBuckets, bucket_of
-from .pipeline import subsample_pc_np
+from .buckets import POW2_BUCKETS, DensityBuckets, bucket_of
+from .pipeline import collate_pairs, subsample_pc_np
 from .store import FakeCompleteStore
 
 _U64 = np.uint64
@@ -64,6 +71,168 @@ def _mix_words(*words) -> np.ndarray:
     for w in words:
         h = _splitmix64(h ^ (np.asarray(w).astype(np.int64).view(_U64)))
     return h
+
+
+# ---- vectorized counter-based draws ------------------------------------------
+#
+# Pair planning is pure metadata work, but at 150 us/item of per-item Python it
+# was the input pipeline's bottleneck (VERDICT r3 weak #1: the host fed ~1.6
+# chips of a v5e-8's ~18k samples/s appetite). Every random decision in a plan
+# is therefore expressed as a keyed draw from the (seed, epoch, index, SLOT)
+# splitmix64 stream, evaluated as one vectorized hash chain per slot across the
+# whole batch. Slots 1/2 stay reserved for the native loader's resample streams
+# (sample_batch seeds).
+
+_SLOT_COIN = 16       # positive/negative coin
+_SLOT_PF1 = 17        # positive frame 1
+_SLOT_PF2 = 18        # positive frame 2 (distinct draw)
+_SLOT_NF1 = 19        # negative anchor frame
+_SLOT_DEN = 20        # density bucket (inverse-CDF uniform)
+_SLOT_FPC = 21        # TP/FP class coin
+_SLOT_NBF = 22        # negative frame within the matched bucket
+_SLOT_CAND = 32       # candidate object draws (+rejection round, 64 rounds)
+_SLOT_FALLBACK = 99   # scalar fallback rng for table-miss items
+
+
+def _draw_u64(seed, epoch, idx, slot) -> np.ndarray:
+    return _mix_words(seed, epoch, idx, slot)
+
+
+def _draw_mod(seed, epoch, idx, slot, n) -> np.ndarray:
+    """Uniform int in [0, n) per element (modulo bias ~ n/2^64, negligible)."""
+    return (_draw_u64(seed, epoch, idx, slot)
+            % np.asarray(n).astype(_U64)).astype(np.int64)
+
+
+def _draw_unit(seed, epoch, idx, slot) -> np.ndarray:
+    """Uniform float64 in [0, 1) per element (53-bit mantissa fill)."""
+    return (_draw_u64(seed, epoch, idx, slot) >> _U64(11)) * (1.0 / (1 << 53))
+
+
+class _PlanTables:
+    """Static sampling structure flattened into numpy tables.
+
+    Everything data-dependent in a training plan — usable frame lists, density
+    CDFs, nearest-nonempty-bucket walks, class-candidate lists with their
+    down-then-up fallback chains (get_class_list_density,
+    object_loader_base.py:217-238) — is a pure function of the store, so it is
+    resolved ONCE here and pair planning becomes table gathers.
+    """
+
+    def __init__(self, ds: "PairDataset"):
+        store, buckets = ds.store, ds.buckets
+        self.tok_str: List[str] = sorted(buckets.obj_buckets)
+        self.uindex: Dict[str, int] = {t: i for i, t in enumerate(self.tok_str)}
+        U = len(self.tok_str)
+        self.is_fp = np.zeros(U, bool)
+        self.int_id = np.empty(U, np.int32)
+
+        # flat frame table over ALL known frames (num_pts | visibility |
+        # usable), so ValErr/artifact pair lists referencing filtered-out
+        # frames still resolve
+        frame_str: List[str] = []
+        f_pts: List[int] = []
+        f_vis: List[int] = []
+        f_dist: List[float] = []
+        self.frame_off = np.zeros(U + 1, np.int64)
+        usable_flat: List[int] = []
+        self.usable_off = np.zeros(U + 1, np.int64)
+        bucket_flat: List[int] = []
+        self.bucket_off = np.zeros((U, len(POW2_BUCKETS)), np.int64)
+        self.bucket_cnt = np.zeros((U, len(POW2_BUCKETS)), np.int32)
+        self.resolved_bucket = np.zeros((U, len(POW2_BUCKETS)), np.int8)
+        cdf = np.zeros((U, len(POW2_BUCKETS)), np.float64)
+        self._frame_local: Dict[int, Dict[str, int]] = {}  # lazy, small
+
+        for u, tok in enumerate(self.tok_str):
+            rec = store.objects[tok]
+            self.is_fp[u] = rec.is_fp
+            self.int_id[u] = ds._int_id(tok)
+            base = len(frame_str)
+            frames = sorted(set(map(str, rec.num_pts))
+                            | set(map(str, rec.visibility))
+                            | set(map(str, ds.frames.get(tok, ()))),
+                            key=lambda s: (len(s), s))
+            local = {f: base + j for j, f in enumerate(frames)}
+            frame_str.extend(frames)
+            for f in frames:
+                f_pts.append(int(rec.num_pts.get(f, -1)))
+                v = int(rec.visibility.get(f, -1))
+                f_vis.append(v - 1 if v in (1, 2, 3, 4) else -1)
+                f_dist.append(float(rec.distance.get(f, -1.0)))
+            self.frame_off[u + 1] = len(frame_str)
+            usable_flat.extend(local[str(f)] for f in ds.frames[tok])
+            self.usable_off[u + 1] = len(usable_flat)
+            ob = buckets.obj_buckets[tok]
+            for b in range(len(POW2_BUCKETS)):
+                fl = ob.get(b, ())
+                self.bucket_off[u, b] = len(bucket_flat)
+                self.bucket_cnt[u, b] = len(fl)
+                bucket_flat.extend(local[str(f)] for f in fl)
+                self.resolved_bucket[u, b] = \
+                    buckets.nearest_nonempty_bucket(tok, b)
+            cdf[u] = np.cumsum(buckets.distribution[tok])
+
+        self.frame_str = frame_str
+        self.frame_num_pts = np.asarray(f_pts, np.int32)
+        self.frame_vis = np.asarray(f_vis, np.int32)
+        self.frame_dist = np.asarray(f_dist, np.float32)
+        self.usable_flat = np.asarray(usable_flat, np.int64)
+        self.usable_cnt = np.diff(self.usable_off).astype(np.int64)
+        self.bucket_flat = np.asarray(bucket_flat, np.int64)
+        self.density_cdf = cdf
+
+        self.tp_uidx = np.asarray([self.uindex[t] for t in ds.tp_tokens],
+                                  np.int64)
+
+        # (first-choice class, density) -> (candidate uidx array,
+        # resolved density, resolved class) with the TP-retry fallback folded
+        # in; None marks the rare permutation fallback (scalar path)
+        L = len(ds.classes)
+        self.neg_table: Dict[Tuple[int, int], Any] = {}
+        for cls_first in ds.idx_to_cls_fp:
+            for d in range(len(POW2_BUCKETS)):
+                entry = None
+                for c in dict.fromkeys(
+                        [cls_first, cls_first - L if cls_first >= L
+                         else cls_first]):
+                    try:
+                        cands, d2 = buckets.class_list_at_density(
+                            ds.idx_to_cls_fp[c], d)
+                    except LookupError:
+                        continue
+                    entry = (np.asarray([self.uindex[o] for o, _ in cands],
+                                        np.int64), d2, c)
+                    break
+                self.neg_table[(cls_first, d)] = entry
+
+    def pts_path_table(self, store) -> np.ndarray:
+        """Fixed-width bytes array of every frame's pts_xyz.bin path, built
+        lazily on first batched load (costs ~(max_len+1) bytes per frame —
+        only paid by runs that actually stream training batches). Width is
+        padded by one so every row is NUL-terminated for the strided native
+        entry point."""
+        tbl = getattr(self, "_pts_path_tbl", None)
+        if tbl is None:
+            paths: List[bytes] = []
+            for u, tok in enumerate(self.tok_str):
+                for j in range(self.frame_off[u], self.frame_off[u + 1]):
+                    paths.append(
+                        store.points_path(tok, self.frame_str[j]).encode())
+            width = max(len(p) for p in paths) + 1
+            tbl = np.asarray(paths, dtype=f"S{width}")
+            self._pts_path_tbl = tbl
+        return tbl
+
+    def frame_fidx(self, u: int, frame: str) -> int:
+        """Flat frame index of (object u, frame key) — lazy per-object map,
+        built only for objects val pair lists actually reference."""
+        m = self._frame_local.get(u)
+        if m is None:
+            lo, hi = self.frame_off[u], self.frame_off[u + 1]
+            m = {self.frame_str[j]: j for j in range(lo, hi)}
+            self._frame_local[u] = m
+        return m[str(frame)]
 
 
 class _CounterRNG:
@@ -209,17 +378,12 @@ class PairDataset:
             return self.store.load_image(tok, frame)
         return self.store.load_points(tok, frame)
 
-    def _negative_object(self, rng: np.random.RandomState, pos_tok: str,
-                         label: int) -> Tuple[str, int, int]:
-        """Density-matched negative draw (get_random_other_even_train,
-        reidentification_base.py:319-359): density from the positive object's
-        own distribution; 50% same-class TP / 50% same-class FP."""
-        density = self.buckets.sample_density(rng, pos_tok)
-        cls2, cands, density = self._negative_candidates(rng, label, density)
-        other = pos_tok
-        while other == pos_tok:
-            other = cands[rng.randint(len(cands))][0]
-        return other, cls2, density
+    def _tables(self) -> _PlanTables:
+        """Flattened sampling tables (lazy; static after construction)."""
+        t = getattr(self, "_plan_tables", None)
+        if t is None:
+            t = self._plan_tables = _PlanTables(self)
+        return t
 
     def _negative_candidates(self, rng: np.random.RandomState, label: int,
                              density: int):
@@ -257,32 +421,135 @@ class PairDataset:
                 continue
         raise LookupError("no class has >=2 candidate objects")
 
+    def plan_batch(self, indices) -> Dict[str, np.ndarray]:
+        """Vectorized pair planning: same decisions as the reference's
+        __getitem__ chain (coin-flip positive/negative, FP-aware
+        density-matched negatives, reidentification_nuscenes.py:37-72 +
+        reidentification_base.py:319-359), computed as batched keyed draws.
+
+        Each item's plan is a pure function of (seed, epoch, index) — never of
+        the batch composition — so sharded loaders, the per-item path and the
+        batched path all agree on pair identity. Returns a dict of arrays:
+        is_pos, u1/u2 (object table indices), f1/f2 (flat frame indices),
+        l1/l2, id1/id2.
+        """
+        t = self._tables()
+        se, ep = self.seed, self.epoch
+        idx = np.asarray(indices, np.int64)
+        i_mod = idx % len(self.tp_tokens)
+        u1 = t.tp_uidx[i_mod]
+        l1 = self.tp_labels[i_mod].astype(np.int64)
+        n_us = t.usable_cnt[u1]
+        is_pos = (_draw_u64(se, ep, idx, _SLOT_COIN) & _U64(1)).astype(bool)
+
+        u2 = u1.copy()
+        l2 = l1.copy()
+        f1 = np.zeros_like(idx)
+        f2 = np.zeros_like(idx)
+
+        # positives: two distinct usable frames of the same object
+        p = np.flatnonzero(is_pos)
+        if p.size:
+            j1 = _draw_mod(se, ep, idx[p], _SLOT_PF1, n_us[p])
+            j2 = _draw_mod(se, ep, idx[p], _SLOT_PF2, n_us[p] - 1)
+            j2 += (j2 >= j1)
+            f1[p] = t.usable_flat[t.usable_off[u1[p]] + j1]
+            f2[p] = t.usable_flat[t.usable_off[u1[p]] + j2]
+
+        # negatives: density-matched other object, 50% same-class FP
+        m = np.flatnonzero(~is_pos)
+        if m.size:
+            nidx, nu1, nl1 = idx[m], u1[m], l1[m]
+            j1 = _draw_mod(se, ep, nidx, _SLOT_NF1, n_us[m])
+            f1[m] = t.usable_flat[t.usable_off[nu1] + j1]
+            un = _draw_unit(se, ep, nidx, _SLOT_DEN)
+            density = (t.density_cdf[nu1] <= un[:, None]).sum(1)
+            density = np.minimum(density, len(POW2_BUCKETS) - 1)
+            tp_coin = (_draw_u64(se, ep, nidx, _SLOT_FPC)
+                       & _U64(1)).astype(bool)
+            cls_first = np.where(tp_coin, nl1, nl1 + len(self.classes))
+            nu2 = np.empty(m.size, np.int64)
+            nl2 = np.empty(m.size, np.int64)
+            nd2 = np.empty(m.size, np.int64)
+            keys = cls_first * len(POW2_BUCKETS) + density
+            for key in np.unique(keys):
+                g = np.flatnonzero(keys == key)
+                entry = t.neg_table[(int(key) // len(POW2_BUCKETS),
+                                     int(key) % len(POW2_BUCKETS))]
+                if entry is None:                # rare: permutation fallback
+                    for k in g:
+                        nu2[k], nl2[k], nd2[k] = self._fallback_negative(
+                            int(nidx[k]), int(nl1[k]), int(density[k]), t)
+                    continue
+                cands, d2res, cls2 = entry
+                sel = cands[_draw_mod(se, ep, nidx[g], _SLOT_CAND,
+                                      len(cands))]
+                # reject self-matches (while other == pos_tok, ...:319-359);
+                # len(cands) >= 2 so each round halves the active set
+                active = np.flatnonzero(sel == nu1[g])
+                for r in range(1, 64):
+                    if not active.size:
+                        break
+                    sel[active] = cands[_draw_mod(se, ep, nidx[g[active]],
+                                                  _SLOT_CAND + r, len(cands))]
+                    active = active[sel[active] == nu1[g[active]]]
+                nu2[g], nl2[g], nd2[g] = sel, cls2, d2res
+            b2 = t.resolved_bucket[nu2, nd2]
+            jf = _draw_mod(se, ep, nidx, _SLOT_NBF, t.bucket_cnt[nu2, b2])
+            f2[m] = t.bucket_flat[t.bucket_off[nu2, b2] + jf]
+            u2[m], l2[m] = nu2, nl2
+
+        id1 = t.int_id[u1]
+        id2 = t.int_id[u2]
+        return dict(is_pos=is_pos, u1=u1, u2=u2, f1=f1, f2=f2,
+                    l1=l1.astype(np.int32), l2=l2.astype(np.int32),
+                    id1=id1, id2=id2)
+
+    def _fallback_negative(self, i: int, label: int, density: int,
+                           t: _PlanTables) -> Tuple[int, int, int]:
+        """Scalar path for (class, density) keys whose candidate table is
+        empty — the reference would raise; we run _negative_candidates'
+        permutation walk with a per-item counter stream."""
+        rng = _CounterRNG(np.stack([
+            _mix_words(self.seed, self.epoch, i, _SLOT_FALLBACK),
+            _splitmix64(_mix_words(self.seed, self.epoch, i,
+                                   _SLOT_FALLBACK))]))
+        cls2, cands, d2 = self._negative_candidates(rng, label, density)
+        u1 = t.uindex[self.tp_tokens[i % len(self.tp_tokens)]]
+        other = u1
+        while other == u1:
+            other = t.uindex[cands[rng.randint(len(cands))][0]]
+        return other, cls2, d2
+
     def _plan(self, i: int) -> Dict[str, Any]:
-        """Pair selection WITHOUT point IO: every RNG draw of sample() happens
-        here in the same order, so plan-then-load (the batched native path)
-        and the per-item path share one stream."""
+        """Per-item plan view over plan_batch — ONE planner for the per-item
+        and batched paths, so pair identity can never diverge between them."""
+        p = self.plan_batch(np.asarray([int(i)]))
+        return self._plan_from_arrays(p, 0, int(i))
+
+    def _plan_from_arrays(self, p: Dict[str, np.ndarray], k: int,
+                          i: int) -> Dict[str, Any]:
+        """Old-style scalar plan dict (tok/frame strings + dense tensors) for
+        _plan_item; dense d1/d2 are materialized here, not in plan_batch —
+        the batched path never ships them (supports_batch_load excludes
+        with_dense)."""
+        t = self._tables()
         rng = self._sample_rng(i)
-        tok1 = self.tp_tokens[i % len(self.tp_tokens)]
-        l1 = int(self.tp_labels[i % len(self.tp_tokens)])
-        id1 = self._int_id(tok1)
+        tok1, tok2 = t.tok_str[p["u1"][k]], t.tok_str[p["u2"][k]]
         d1 = self.complete_store.load_complete(tok1)
-
-        if rng.randint(2) == 1:                            # positive pair
-            f1, f2 = rng.choice(self.frames[tok1], 2, replace=False)
-            tok2, l2, id2, d2 = tok1, l1, id1, d1
-        else:                                              # negative pair
-            f1 = rng.choice(self.frames[tok1])
-            tok2, l2, density = self._negative_object(rng, tok1, l1)
-            if self.store.objects[tok2].is_fp:
-                d2 = rng.randn(self.subsample_dense, 3).astype(np.float32)
-                id2 = -1
-            else:
-                d2 = self.complete_store.load_complete(tok2)
-                id2 = self._int_id(tok2)
-            f2 = self.buckets.random_frame_in_bucket(rng, tok2, density)
-
-        return dict(rng=rng, tok1=tok1, f1=f1, tok2=tok2, f2=f2,
-                    l1=l1, l2=l2, id1=id1, id2=id2, d1=d1, d2=d2)
+        if t.is_fp[p["u2"][k]]:
+            # FP negatives get a random dense shape (the reference maps FP
+            # dense to noise, reidentification_nuscenes.py:63-67)
+            d2 = rng.randn(self.subsample_dense, 3).astype(np.float32)
+        elif p["u2"][k] == p["u1"][k]:
+            d2 = d1
+        else:
+            d2 = self.complete_store.load_complete(tok2)
+        return dict(rng=rng, tok1=tok1, f1=t.frame_str[p["f1"][k]],
+                    tok2=tok2, f2=t.frame_str[p["f2"][k]],
+                    l1=int(p["l1"][k]), l2=int(p["l2"][k]),
+                    id1=int(p["id1"][k]), id2=int(p["id2"][k]),
+                    d1=d1, d2=d2)
 
     def _plan_item(self, p: Dict[str, Any]) -> Dict[str, Any]:
         s1 = self._load_sparse(p["tok1"], p["f1"])
@@ -328,45 +595,44 @@ class PairDataset:
         Resampling uses splitmix64 streams seeded per (seed, epoch, index,
         slot) instead of the per-item numpy stream, so batches differ from
         the per-item path in which duplicate points get picked — never in
-        pair identity, labels, or metadata.
+        pair identity, labels, or metadata (both paths share plan_batch).
         """
-        plans = [self._plan(int(i)) for i in indices]
-        pairs = [(p["tok1"], p["f1"]) for p in plans] + \
-                [(p["tok2"], p["f2"]) for p in plans]
-        B = len(plans)
+        t = self._tables()
+        p = self.plan_batch(indices)
+        B = len(p["u1"])
         if self.mode == "image":
             # images need no resample RNG; sizes carry the crops' true LiDAR
             # point counts like the per-item path (_item sizes=...)
+            ts, fs = t.tok_str, t.frame_str
+            pairs = [(ts[u], fs[f]) for u, f in zip(p["u1"], p["f1"])] + \
+                    [(ts[u], fs[f]) for u, f in zip(p["u2"], p["f2"])]
             pts, _ok = self.store.load_image_batch(pairs)
-            counts = np.asarray(
-                [self._num_pts(p["tok1"], p["f1"]) for p in plans]
-                + [self._num_pts(p["tok2"], p["f2"]) for p in plans],
-                np.int32)
+            counts = t.frame_num_pts[np.concatenate([p["f1"], p["f2"]])]
         else:
             idx = np.asarray(list(indices), dtype=np.int64)
             seeds = np.concatenate(
                 [_mix_words(self.seed, self.epoch, idx, slot)
                  for slot in (1, 2)])
-            pts, counts = self.store.load_point_batch(
-                pairs, self.subsample_sparse, seeds)
-        batch = dict(
+            fidx = np.concatenate([p["f1"], p["f2"]])
+            if hasattr(self.store, "load_point_batch_strided"):
+                rows = t.pts_path_table(self.store)[fidx]
+                pts, counts = self.store.load_point_batch_strided(
+                    rows, self.subsample_sparse, seeds)
+            else:
+                ts, fs = t.tok_str, t.frame_str
+                pairs = [(ts[u], fs[f]) for u, f in
+                         zip(np.concatenate([p["u1"], p["u2"]]), fidx)]
+                pts, counts = self.store.load_point_batch(
+                    pairs, self.subsample_sparse, seeds)
+        return dict(
             sparse_1=pts[:B], sparse_2=pts[B:],
-            label_1=np.asarray([p["l1"] for p in plans], np.int32),
-            label_2=np.asarray([p["l2"] for p in plans], np.int32),
-            id_1=np.asarray([p["id1"] for p in plans], np.int32),
-            id_2=np.asarray([p["id2"] for p in plans], np.int32),
+            label_1=p["l1"], label_2=p["l2"],
+            id_1=p["id1"], id_2=p["id2"],
             size_1=counts[:B].astype(np.int32),   # -1 = missing file
             size_2=counts[B:].astype(np.int32),
-            vis_1=np.asarray([self._vis(p["tok1"], p["f1"]) for p in plans],
-                             np.int32),
-            vis_2=np.asarray([self._vis(p["tok2"], p["f2"]) for p in plans],
-                             np.int32),
-            dist_1=np.asarray([self._dist(p["tok1"], p["f1"]) for p in plans],
-                              np.float32),
-            dist_2=np.asarray([self._dist(p["tok2"], p["f2"]) for p in plans],
-                              np.float32),
+            vis_1=t.frame_vis[p["f1"]], vis_2=t.frame_vis[p["f2"]],
+            dist_1=t.frame_dist[p["f1"]], dist_2=t.frame_dist[p["f2"]],
         )
-        return batch
 
     def _vis(self, tok: str, frame: str) -> int:
         v = self.store.objects[tok].visibility.get(str(frame), -1)
@@ -479,30 +745,43 @@ class ValEvenPairs(PairDataset):
             self._perm_cache = r.permutation(len(self))
         return int(self._perm_cache[idx])
 
-    def _plan(self, idx: int) -> Dict[str, Any]:
-        """Frozen-pair-list plan; `sample`/`sample_batch` are inherited."""
-        idx = self._perm(idx)
-        rng = self._sample_rng(idx)
-        if idx < len(self.val_positives):
-            x = self.val_positives[idx]
-            tok = x["tok"]
-            d1 = self.complete_store.load_complete(tok)
-            i1 = self._int_id(tok)
-            return dict(rng=rng, tok1=tok, f1=x["o1"], tok2=tok, f2=x["o2"],
-                        l1=x["cls"], l2=x["cls"], id1=i1, id2=i1,
-                        d1=d1, d2=d1)
-        x = self.val_negatives[idx - len(self.val_positives)]
-        d1 = self.complete_store.load_complete(x["tok1"])
-        if self.store.objects[x["tok2"]].is_fp:
-            d2 = rng.randn(self.subsample_dense, 3).astype(np.float32)
-            id2 = -1
-        else:
-            d2 = self.complete_store.load_complete(x["tok2"])
-            id2 = self._int_id(x["tok2"])
-        return dict(rng=rng, tok1=x["tok1"], f1=x["o1"],
-                    tok2=x["tok2"], f2=x["o2"],
-                    l1=x["cls1"], l2=x["cls2"],
-                    id1=self._int_id(x["tok1"]), id2=id2, d1=d1, d2=d2)
+    def _val_arrays(self) -> Dict[str, np.ndarray]:
+        """Frozen pair lists flattened to index arrays (lazy: ValErrPairs and
+        from_artifact set the lists after construction). Order: positives
+        first, then negatives — the same order _perm permutes."""
+        a = getattr(self, "_val_arr_cache", None)
+        if a is not None and a["n"] == len(self):
+            return a
+        t = self._tables()
+        u1, f1, u2, f2, l1, l2 = [], [], [], [], [], []
+        for x in self.val_positives:
+            u = t.uindex[x["tok"]]
+            u1.append(u), u2.append(u)
+            f1.append(t.frame_fidx(u, x["o1"]))
+            f2.append(t.frame_fidx(u, x["o2"]))
+            l1.append(x["cls"]), l2.append(x["cls"])
+        for x in self.val_negatives:
+            ua, ub = t.uindex[x["tok1"]], t.uindex[x["tok2"]]
+            u1.append(ua), u2.append(ub)
+            f1.append(t.frame_fidx(ua, x["o1"]))
+            f2.append(t.frame_fidx(ub, x["o2"]))
+            l1.append(x["cls1"]), l2.append(x["cls2"])
+        a = dict(n=len(self),
+                 u1=np.asarray(u1, np.int64), u2=np.asarray(u2, np.int64),
+                 f1=np.asarray(f1, np.int64), f2=np.asarray(f2, np.int64),
+                 l1=np.asarray(l1, np.int32), l2=np.asarray(l2, np.int32))
+        self._val_arr_cache = a
+        return a
+
+    def plan_batch(self, indices) -> Dict[str, np.ndarray]:
+        """Frozen-pair-list plans; `sample`/`sample_batch` are inherited."""
+        t = self._tables()
+        a = self._val_arrays()
+        self._perm(0)                          # materialize _perm_cache
+        idx = self._perm_cache[np.asarray(indices, np.int64)]
+        sel = {k: a[k][idx] for k in ("u1", "u2", "f1", "f2", "l1", "l2")}
+        return dict(is_pos=idx < len(self.val_positives),
+                    id1=t.int_id[sel["u1"]], id2=t.int_id[sel["u2"]], **sel)
 
     def dump_pairs(self) -> Dict[str, Any]:
         """Freeze the pair lists as a JSON-able artifact for parity checks."""
@@ -537,9 +816,96 @@ class ValEvenPairs(PairDataset):
         return ds
 
 
+class ConcatPairs:
+    """Concatenation of several pair datasets (ConcatDataset dispatch,
+    reference datasets/builder.py:25-31): global index space is the
+    concatenation of the members'. Batched loads group indices per member
+    and reassemble in order, so the native fast path survives mixing
+    stores."""
+
+    def __init__(self, datasets: Sequence[Any]):
+        if not datasets:
+            raise ValueError("ConcatPairs needs at least one dataset")
+        self.datasets = list(datasets)
+        self.offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self.offsets[-1])
+
+    def set_epoch(self, epoch: int, seed: int = 0):
+        for d in self.datasets:
+            d.set_epoch(epoch, seed)
+
+    def _locate(self, i: int) -> Tuple[int, int]:
+        i = int(i) % len(self)
+        k = int(np.searchsorted(self.offsets, i, side="right")) - 1
+        return k, i - int(self.offsets[k])
+
+    def sample(self, i: int):
+        k, j = self._locate(i)
+        return self.datasets[k].sample(j)
+
+    @property
+    def supports_batch_load(self) -> bool:
+        return all(d.supports_batch_load for d in self.datasets)
+
+    def sample_batch(self, indices) -> Dict[str, np.ndarray]:
+        located = [self._locate(int(i)) for i in indices]
+        out: List[Any] = [None] * len(located)
+        for k, d in enumerate(self.datasets):
+            pos = [b for b, (kk, _) in enumerate(located) if kk == k]
+            if not pos:
+                continue
+            sub = d.sample_batch([located[b][1] for b in pos])
+            for r, b in enumerate(pos):
+                out[b] = {key: v[r] for key, v in sub.items()}
+        return collate_pairs(out)
+
+
+class RepeatPairs:
+    """Fixed-times repetition of a dataset (RepeatDataset dispatch,
+    reference datasets/builder.py:32-35) — lengthens an epoch without
+    touching sampling purity (index i maps to i % len(dataset), and every
+    draw is already keyed per (seed, epoch, local index))."""
+
+    def __init__(self, dataset, times: int):
+        if times < 1:
+            raise ValueError(f"times must be >= 1, got {times}")
+        self.dataset = dataset
+        self.times = int(times)
+
+    def __len__(self) -> int:
+        return self.times * len(self.dataset)
+
+    def set_epoch(self, epoch: int, seed: int = 0):
+        self.dataset.set_epoch(epoch, seed)
+
+    def sample(self, i: int):
+        return self.dataset.sample(int(i) % len(self.dataset))
+
+    @property
+    def supports_batch_load(self) -> bool:
+        return self.dataset.supports_batch_load
+
+    def sample_batch(self, indices):
+        return self.dataset.sample_batch(
+            [int(i) % len(self.dataset) for i in indices])
+
+
 def build_pair_dataset(cfg: Dict[str, Any], store, complete_store=None):
     """Config-dict entry (mirrors build_dataset registry dispatch,
-    datasets/builder.py:20-44): cfg['split'] in {'train','val'}."""
+    datasets/builder.py:20-44): cfg['split'] in {'train','val'}; a LIST of
+    configs or type='concat' concatenates; type='repeat' repeats."""
+    if isinstance(cfg, (list, tuple)):
+        return ConcatPairs([build_pair_dataset(c, store, complete_store)
+                            for c in cfg])
+    if cfg.get("type") in ("concat", "ConcatDataset"):
+        return ConcatPairs([build_pair_dataset(c, store, complete_store)
+                            for c in cfg["datasets"]])
+    if cfg.get("type") in ("repeat", "RepeatDataset"):
+        return RepeatPairs(
+            build_pair_dataset(cfg["dataset"], store, complete_store),
+            cfg["times"])
     common = dict(
         store=store, classes=cfg["classes"], cls_to_idx=cfg["cls_to_idx"],
         tracking_classes=cfg["tracking_classes"],

@@ -169,6 +169,15 @@ class CropStore:
         paths = [self.points_path(o, f) for o, f in pairs]
         return native.load_point_batch(paths, k, seeds)
 
+    def load_point_batch_strided(self, path_rows: "np.ndarray", k: int,
+                                 seeds) -> "np.ndarray":
+        """load_point_batch over a fixed-width bytes array of pre-built paths
+        (one fancy-index gather from _PlanTables' path table) — no per-item
+        Python marshalling. Same contract as load_point_batch."""
+        assert self.load_fraction == 1.0, "native batch path reads whole files"
+        from .. import native
+        return native.load_point_batch_strided(path_rows, k, seeds)
+
     def load_image_batch(self, pairs) -> Tuple[np.ndarray, np.ndarray]:
         """Batched native read of many (obj, frame) img_crop.bin blobs.
 

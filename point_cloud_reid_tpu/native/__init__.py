@@ -52,6 +52,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_long,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int]
+        if hasattr(lib, "pcr_load_point_batch_strided"):   # version >= 2
+            lib.pcr_load_point_batch_strided.restype = ctypes.c_int
+            lib.pcr_load_point_batch_strided.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int]
         _lib = lib
     except OSError:
         _lib = None
@@ -101,6 +108,34 @@ def load_point_batch(paths: Sequence[str], k: int, seeds: Sequence[int],
         if len(pts) >= min_points:
             rng = np.random.RandomState(int(seeds[b]) % (2**31 - 1))
             out[b] = pts[rng.randint(0, len(pts), size=k)]
+    return out, counts
+
+
+def load_point_batch_strided(paths: np.ndarray, k: int,
+                             seeds: Sequence[int], min_points: int = 3,
+                             nthreads: int = 8
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Zero-marshalling variant of load_point_batch.
+
+    `paths` is a (B,) numpy fixed-width bytes array ('S<w>') whose entries are
+    NUL-terminated — i.e. every stored path is at most w-1 bytes, the layout a
+    fancy-index gather from a precomputed path table produces. Avoids building
+    B Python path objects per batch (~30 ms at 4096 crops)."""
+    B = len(paths)
+    lib = _load()
+    if lib is None or not hasattr(lib, "pcr_load_point_batch_strided"):
+        return load_point_batch([p.decode() for p in paths], k, seeds,
+                                min_points, nthreads)
+    paths = np.ascontiguousarray(paths)
+    out = np.zeros((B, k, 3), np.float32)
+    counts = np.zeros((B,), np.int32)
+    seeds_arr = np.ascontiguousarray(np.asarray(seeds, dtype=np.uint64))
+    lib.pcr_load_point_batch_strided(
+        paths.ctypes.data_as(ctypes.c_char_p), paths.dtype.itemsize, B, k,
+        seeds_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        min_points, nthreads)
     return out, counts
 
 

@@ -145,25 +145,56 @@ extern "C" {
 //   out:    (B, k, 3) float32 buffer
 //   counts: (B,) int32 raw point counts (-1 = missing file)
 // Returns 0 on success.
-int pcr_load_point_batch(const char** paths, int batch, int k,
-                         const uint64_t* seeds, float* out, int32_t* counts,
-                         int min_points, int nthreads) {
+//
+// Work is submitted in chunks, not per item: per-job queue traffic (lock +
+// notify) measured ~1-2 us each, which at 4096-crop batches was a multi-ms
+// tax before any byte was read.
+static void run_point_batch(const std::function<const char*(int)>& path_of,
+                            int batch, int k, const uint64_t* seeds,
+                            float* out, int32_t* counts, int min_points,
+                            int nthreads) {
   ThreadPool& tp = get_pool(nthreads);
+  const int chunk = 64;
+  const int njobs = (batch + chunk - 1) / chunk;
   std::atomic<int> done{0};
   std::mutex mu;
   std::condition_variable cv;
-  for (int b = 0; b < batch; ++b) {
-    tp.submit([&, b] {
-      counts[b] = load_one(paths[b], out + (long)b * k * 3, k, seeds[b],
-                           min_points);
-      if (done.fetch_add(1) + 1 == batch) {
+  for (int j = 0; j < njobs; ++j) {
+    tp.submit([&, j] {
+      const int lo = j * chunk;
+      const int hi = lo + chunk < batch ? lo + chunk : batch;
+      for (int b = lo; b < hi; ++b)
+        counts[b] = load_one(path_of(b), out + (long)b * k * 3, k, seeds[b],
+                             min_points);
+      if (done.fetch_add(1) + 1 == njobs) {
         std::lock_guard<std::mutex> lk(mu);
         cv.notify_one();
       }
     });
   }
   std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == batch; });
+  cv.wait(lk, [&] { return done.load() == njobs; });
+}
+
+int pcr_load_point_batch(const char** paths, int batch, int k,
+                         const uint64_t* seeds, float* out, int32_t* counts,
+                         int min_points, int nthreads) {
+  run_point_batch([paths](int b) { return paths[b]; }, batch, k, seeds, out,
+                  counts, min_points, nthreads);
+  return 0;
+}
+
+// Strided variant: `paths` is one contiguous (batch x stride) char buffer of
+// NUL-terminated strings — what a numpy fixed-width bytes array holds after a
+// fancy-index gather. Lets Python hand over a whole batch of paths without
+// building B per-item objects (the char** marshalling was ~30 ms per
+// 4096-crop batch).
+int pcr_load_point_batch_strided(const char* paths, long stride, int batch,
+                                 int k, const uint64_t* seeds, float* out,
+                                 int32_t* counts, int min_points,
+                                 int nthreads) {
+  run_point_batch([paths, stride](int b) { return paths + b * stride; },
+                  batch, k, seeds, out, counts, min_points, nthreads);
   return 0;
 }
 
@@ -172,32 +203,38 @@ int pcr_load_point_batch(const char** paths, int batch, int k,
 int pcr_load_blob_batch(const char** paths, int batch, long elems,
                         float* out, int32_t* ok, int nthreads) {
   ThreadPool& tp = get_pool(nthreads);
+  const int chunk = 16;  // blobs are big (e.g. 588 KB image crops)
+  const int njobs = (batch + chunk - 1) / chunk;
   std::atomic<int> done{0};
   std::mutex mu;
   std::condition_variable cv;
-  for (int b = 0; b < batch; ++b) {
-    tp.submit([&, b] {
-      float* dst = out + (long)b * elems;
+  for (int j = 0; j < njobs; ++j) {
+    tp.submit([&, j] {
+      const int lo = j * chunk;
+      const int hi = lo + chunk < batch ? lo + chunk : batch;
       std::vector<char> buf;
-      long sz = read_file(paths[b], buf);
-      if (sz == elems * (long)sizeof(float)) {
-        std::memcpy(dst, buf.data(), sz);
-        ok[b] = 1;
-      } else {
-        std::memset(dst, 0, elems * sizeof(float));
-        ok[b] = -1;
+      for (int b = lo; b < hi; ++b) {
+        float* dst = out + (long)b * elems;
+        long sz = read_file(paths[b], buf);
+        if (sz == elems * (long)sizeof(float)) {
+          std::memcpy(dst, buf.data(), sz);
+          ok[b] = 1;
+        } else {
+          std::memset(dst, 0, elems * sizeof(float));
+          ok[b] = -1;
+        }
       }
-      if (done.fetch_add(1) + 1 == batch) {
+      if (done.fetch_add(1) + 1 == njobs) {
         std::lock_guard<std::mutex> lk(mu);
         cv.notify_one();
       }
     });
   }
   std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == batch; });
+  cv.wait(lk, [&] { return done.load() == njobs; });
   return 0;
 }
 
-int pcr_version() { return 1; }
+int pcr_version() { return 2; }  // 2: strided point batch + chunked jobs
 
 }  // extern "C"

@@ -273,6 +273,10 @@ def fused_match_grid(h_t: jnp.ndarray, qt: jnp.ndarray, kvzt: jnp.ndarray,
     nd = h_d.shape[0]
     assert nd % det_block == 0, (nd, det_block)
     assert (pvt is None) == (pvd is None)
+    # a typo'd skip name would silently time the FULL kernel and corrupt a
+    # cost bisection — unknown names must fail loudly
+    assert frozenset(debug_skip) <= frozenset({"stage2", "ffn", "ln"}), \
+        f"unknown debug_skip names: {set(debug_skip) - {'stage2', 'ffn', 'ln'}}"
     with_pos = pvt is not None
     bd = det_block
     nb = nd // bd

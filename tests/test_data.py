@@ -250,6 +250,51 @@ def test_class_balanced_pairs():
     assert item["sparse_1"].shape == (16, 3)
 
 
+def test_concat_repeat_wrappers(tmp_path):
+    """Concat/Repeat dataset wrappers (reference builder dispatch,
+    mmdet3d/datasets/builder.py:25-35): length arithmetic, index routing,
+    and batch/per-item agreement through the wrappers."""
+    from point_cloud_reid_tpu.data import (ConcatPairs, CropStore,
+                                           RepeatPairs, SyntheticStore,
+                                           build_pair_dataset)
+
+    SyntheticStore(num_objects=30, frames_per_obj=5, seed=5).save(
+        str(tmp_path))
+    store = CropStore(str(tmp_path), min_points=5)
+    cfg = dict(classes=CLASSES, cls_to_idx=CLS_TO_IDX,
+               tracking_classes=TRACKING, subsample_sparse=16, split="train")
+
+    rep = build_pair_dataset(dict(type="repeat", dataset=cfg, times=3), store)
+    assert isinstance(rep, RepeatPairs)
+    base = rep.dataset
+    assert len(rep) == 3 * len(base)
+    # i and i + len(base) alias the same local sample
+    a, b = rep.sample(1), rep.sample(1 + len(base))
+    np.testing.assert_array_equal(a["sparse_1"], b["sparse_1"])
+    assert a["id_1"] == b["id_1"] and a["id_2"] == b["id_2"]
+
+    cat = build_pair_dataset([cfg, dict(cfg, seed=9)], store)
+    assert isinstance(cat, ConcatPairs)
+    assert len(cat) == 2 * len(base)
+    # second member starts at offset len(base)
+    first_of_second = cat.sample(len(base))
+    np.testing.assert_array_equal(
+        first_of_second["sparse_1"], cat.datasets[1].sample(0)["sparse_1"])
+
+    # batched path groups per member and reassembles in order
+    assert cat.supports_batch_load
+    idxs = [0, len(base), 3, len(base) + 3, 1]
+    batch = cat.sample_batch(idxs)
+    ref = collate_pairs([cat.sample(i) for i in idxs])
+    for k in ("label_1", "label_2", "id_1", "id_2", "size_1", "size_2"):
+        np.testing.assert_array_equal(batch[k], ref[k])
+
+    with pytest.raises(ValueError):
+        RepeatPairs(base, 0)
+    with pytest.raises(ValueError):
+        ConcatPairs([])
+
+
 def test_distance_metadata_end_to_end():
     """Every sampled item carries real per-frame ego BEV distances matching
     the store metadata (reidentification_waymo.py:168-196 semantics)."""

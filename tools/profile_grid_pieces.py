@@ -11,8 +11,10 @@ times each on hardware. Differences attribute per-piece cost:
     no_stage2_no_ffn     stage-1 messages + pool  -> floor
 
 Usage: python tools/profile_grid_pieces.py [det_block]
-       python tools/profile_grid_pieces.py --image [det_block]   (64x64 DeiT
-           grid, S=198 padded tokens — attributes the image kernel's ms)
+       python tools/profile_grid_pieces.py --image [det_block] [vmem_mb]
+           (64x64 DeiT grid, S=198 padded tokens — attributes the image
+           kernel's ms; image det_block=32 needs vmem_mb ~34, the 20 MB
+           default only fits det_block<=16)
 """
 from __future__ import annotations
 
@@ -39,6 +41,7 @@ def main():
     args = [a for a in sys.argv[1:] if a != "--image"]
     image = "--image" in sys.argv[1:]
     det_block = int(args[0]) if args else 16
+    vmem_mb = int(args[1]) if len(args) > 1 else 20
 
     variants = dict(
         full=frozenset(),
@@ -63,7 +66,8 @@ def main():
         h_t = h_d[:NT]
         for name, skip in variants.items():
             fn = (lambda v, a, b, s=skip: pallas_image_grid_logits(
-                model, v, a, b, det_block=det_block, debug_skip=s))
+                model, v, a, b, det_block=det_block,
+                vmem_limit_mb=vmem_mb, debug_skip=s))
             bench(name, fn, (variables, h_t, h_d), n=30)
         return
 
