@@ -290,14 +290,30 @@ class Trainer:
 
     def evaluate(self, state: TrainState) -> Dict[str, Any]:
         """Distributed eval: sharded forward, host-side aggregation — replaces
-        the tmpdir pickle gather (eval_hook.py:113-135)."""
+        the tmpdir pickle gather (eval_hook.py:113-135).
+
+        Dispatch is pipelined: eval-step programs are queued k deep before the
+        first fetch (cfg key `eval_prefetch`, default 8), so per-batch host
+        round-trips (~2 tunnel RTTs each in this environment) overlap device
+        compute instead of serializing after every batch. The window bounds
+        how many batches' input buffers stay resident on device."""
+        from collections import deque
         rng = jax.random.PRNGKey(self.cfg.get("seed", 0))
         accum: Dict[str, list] = {}
+
+        def drain(res):
+            for k, v in jax.device_get(res).items():
+                accum.setdefault(k, []).append(np.asarray(v))
+
+        window = max(1, int(self.cfg.get("eval_prefetch", 8)))
+        pending: "deque" = deque()
         for batch in self.val_loader:
             dev_batch = shard_batch(self.mesh, batch)
-            res = jax.device_get(self.eval_step(state, dev_batch, rng))
-            for k, v in res.items():
-                accum.setdefault(k, []).append(np.asarray(v))
+            pending.append(self.eval_step(state, dev_batch, rng))
+            if len(pending) >= window:
+                drain(pending.popleft())
+        while pending:
+            drain(pending.popleft())
         results = {k: np.concatenate(v, axis=0) for k, v in accum.items()}
         from ..parallel import allgather_results
         results = allgather_results(results)   # multi-host: collective gather

@@ -33,6 +33,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "quick: fast-iteration tier — `pytest -m quick` runs in <3 min "
+        "(data/eval/config/ops units; no golden-torch or multihost suites)")
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

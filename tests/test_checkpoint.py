@@ -62,6 +62,20 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.isfinite(float(log["reid_loss"]))
 
 
+def test_evaluate_pipelined_matches_serial(tmp_path):
+    """Queue-then-drain eval dispatch (eval_prefetch window) must not change
+    results vs fetching after every batch (window=1)."""
+    trainer, state, _ = _tiny_setup(tmp_path)
+    trainer.cfg["eval_prefetch"] = 8
+    pipelined = trainer.evaluate(state)
+    trainer.cfg["eval_prefetch"] = 1
+    serial = trainer.evaluate(state)
+    assert pipelined.keys() == serial.keys()
+    for k, v in pipelined.items():
+        if isinstance(v, (int, float)):
+            assert v == serial[k], k
+
+
 def test_checkpoint_retention_policy(tmp_path):
     """interval-tagged saves with max_keep_ckpts rotation + save_last + best
     (checkpoint_config parity, reidentification_runtime.py:7)."""

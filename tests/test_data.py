@@ -12,6 +12,8 @@ from point_cloud_reid_tpu.data import (
 )
 from point_cloud_reid_tpu.data.buckets import bucket_of
 
+pytestmark = pytest.mark.quick
+
 CLASSES = [f"class_{i}" for i in range(10)]
 CLS_TO_IDX = {c: i for i, c in enumerate(CLASSES)}
 TRACKING = {c: c for c in CLASSES}

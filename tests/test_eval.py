@@ -1,8 +1,11 @@
 """Metrics-engine tests (MatchingEval / evaluate_results)."""
+import pytest
 import numpy as np
 
 from point_cloud_reid_tpu.evaluation import (MatchingEval, evaluate_results,
                                              f1_precision_recall)
+
+pytestmark = pytest.mark.quick
 
 
 def logits_of(p01):

@@ -6,6 +6,8 @@ import pytest
 from point_cloud_reid_tpu.configs import experiments as E
 from point_cloud_reid_tpu.models import build_model
 
+pytestmark = pytest.mark.quick
+
 
 def test_all_experiments_build():
     assert len(E.EXPERIMENTS) >= 140

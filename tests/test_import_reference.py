@@ -20,6 +20,8 @@ from point_cloud_reid_tpu.data.import_reference import (
     filter_by_scene_ids, import_reference_store, load_metadata)
 from point_cloud_reid_tpu.data.store import ObjectRecord
 
+pytestmark = pytest.mark.quick
+
 CLASSES = ["car", "truck", "pedestrian"]
 CLS_TO_IDX = {c: i for i, c in enumerate(CLASSES)}
 TRACKING = {c: c for c in CLASSES}

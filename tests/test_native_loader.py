@@ -6,6 +6,8 @@ import pytest
 
 from point_cloud_reid_tpu import native
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="module")
 def crop_dir(tmp_path_factory):

@@ -3,6 +3,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from point_cloud_reid_tpu import ops
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def test_points_in_rboxes_axis_aligned():

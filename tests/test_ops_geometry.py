@@ -10,6 +10,8 @@ import pytest
 
 from point_cloud_reid_tpu import ops
 
+pytestmark = pytest.mark.quick
+
 
 def np_square_distance(src, dst):
     return ((src[:, :, None, :] - dst[:, None, :, :]) ** 2).sum(-1)

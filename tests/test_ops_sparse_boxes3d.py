@@ -1,4 +1,5 @@
 """sparse ops (paconv/spconv equivalents) + Boxes3D structure tests."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +8,8 @@ from point_cloud_reid_tpu.ops.boxes3d import Boxes3D
 from point_cloud_reid_tpu.ops.sparse import (assign_score_withk,
                                              build_indice_pairs,
                                              submanifold_conv3d)
+
+pytestmark = pytest.mark.quick
 
 
 def test_assign_score_withk_matches_loop():

@@ -12,6 +12,8 @@ pytest.importorskip("matplotlib")
 
 from point_cloud_reid_tpu.evaluation import evaluate_results
 
+pytestmark = pytest.mark.quick
+
 
 def _report(seed):
     rng = np.random.RandomState(seed)

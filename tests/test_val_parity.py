@@ -17,6 +17,9 @@ import json
 import numpy as np
 
 from point_cloud_reid_tpu.data import SyntheticStore, ValEvenPairs, collate_pairs
+import pytest
+
+pytestmark = pytest.mark.quick
 
 CLASSES = [f"class_{i}" for i in range(4)]
 CLS_TO_IDX = {c: i for i, c in enumerate(CLASSES)}
