@@ -13,7 +13,9 @@ Capability map to the reference's 12 native extensions (SURVEY.md §2.7):
   roiaware_pool3d       -> boxes.points_in_rboxes
   norm (SyncBN)         -> models.layers.BatchNorm runs global batch stats under SPMD jit
   paconv                -> sparse.assign_score_withk
-  spconv                -> sparse.build_indice_pairs / submanifold_conv3d
+  spconv                -> sparse.{build_indice_pairs, submanifold_conv3d,
+                           sparse_conv3d, sparse_inverse_conv3d,
+                           sparse_maxpool3d, to_dense}
                            (fixed-capacity hash rulebook + gather-matmul-scatter)
   box structures (§2.8) -> boxes3d.Boxes3D (lidar/depth origins, corners,
                            points-in-box, rotate, IoU, NMS)
@@ -62,7 +64,9 @@ from .geometry import (
 )
 from .boxes3d import Boxes3D
 from .sparse import (assign_score_withk, build_indice_pairs,
-                     submanifold_conv3d)
+                     build_strided_output, sparse_conv3d,
+                     sparse_inverse_conv3d, sparse_maxpool3d,
+                     submanifold_conv3d, to_dense)
 from .voxel import bev_pool, dynamic_scatter_mean, voxelize_hard
 
 __all__ = [
@@ -79,5 +83,6 @@ __all__ = [
     "subsample_pc", "three_interpolate", "three_nn",
     "bev_pool", "dynamic_scatter_mean", "voxelize_hard",
     "Boxes3D", "assign_score_withk", "build_indice_pairs",
-    "submanifold_conv3d",
+    "build_strided_output", "sparse_conv3d", "sparse_inverse_conv3d",
+    "sparse_maxpool3d", "submanifold_conv3d", "to_dense",
 ]

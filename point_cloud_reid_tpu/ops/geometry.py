@@ -89,7 +89,15 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray,
     # One-hot arithmetic intensity is ~N FLOP/byte of output: compute-bound
     # past N ~ 2048 on v5e (59 TFLOP/s 64-wide vs ~700 GB/s), where the
     # native gather catches up — keep auto on the matmul path only for
-    # N <= 4096. The generous split ceiling matters under multi-chip DP:
+    # N <= 4096. Crossover MEASURED at the SA1 train shape (B=512, K=4096,
+    # tools/profile_ablation.py --gather, v5e f32): one-hot fwd/vjp ms
+    # N=512 3.3/3.1, 1024 3.4/3.4, 2048 4.8/4.8, 4096 8.3/8.8, 8192
+    # 17.6/15.9 vs native 25.3/33.3, 16.2/88.4, 16.2/85.6, 16.3/86.1,
+    # 16.4/86.1 — inside the guard one-hot wins >=2x both directions; the
+    # fwd-only crossover is ~N=8192 (native +7%) while the scatter-vjp
+    # NEVER crosses (5.4x at 8192), so the N<=4096 bound is conservative
+    # for fwd-only consumers and safe for training ones.
+    # The generous split ceiling matters under multi-chip DP:
     # jit traces GLOBAL shapes, so a pod-scale batch must still pick the
     # one-hot path (GSPMD then partitions each split einsum per-device).
     use_onehot = method == "onehot" or (

@@ -7,7 +7,10 @@ import numpy as np
 from point_cloud_reid_tpu.ops.boxes3d import Boxes3D
 from point_cloud_reid_tpu.ops.sparse import (assign_score_withk,
                                              build_indice_pairs,
-                                             submanifold_conv3d)
+                                             sparse_conv3d,
+                                             sparse_inverse_conv3d,
+                                             sparse_maxpool3d,
+                                             submanifold_conv3d, to_dense)
 
 pytestmark = pytest.mark.quick
 
@@ -71,6 +74,132 @@ def test_indice_pairs_and_submanifold_conv():
                                          jnp.asarray(valid), jnp.asarray(W2)))
     np.testing.assert_allclose(out2[0], feats[1], rtol=1e-5)
     np.testing.assert_allclose(out2[2], np.zeros(Cin), atol=1e-6)
+
+
+def _random_voxels(rng, n_active, n_pad, grid, cin):
+    """Distinct active coords + arbitrary padded rows, features zeroed on
+    the pads (the fixed-capacity contract)."""
+    all_coords = np.stack(np.meshgrid(*[np.arange(g) for g in grid],
+                                      indexing="ij"), -1).reshape(-1, 3)
+    pick = rng.choice(len(all_coords), n_active, replace=False)
+    coords = np.concatenate([all_coords[pick],
+                             np.zeros((n_pad, 3), np.int64)]).astype(np.int32)
+    valid = np.concatenate([np.ones(n_active, bool), np.zeros(n_pad, bool)])
+    feats = rng.randn(n_active + n_pad, cin).astype(np.float32)
+    feats[~valid] = 0.0
+    return coords, valid, feats
+
+
+def test_sparse_conv3d_matches_dense():
+    """Strided sparse conv == XLA dense conv at the active output sites, and
+    the output site set is exactly the kernel-footprint cover (spconv
+    SparseConv3d semantics, conv.py:49-455)."""
+    rng = np.random.RandomState(0)
+    grid, cin, cout, k, s, p = (6, 6, 6), 3, 5, 3, 2, 1
+    coords, valid, feats = _random_voxels(rng, 30, 4, grid, cin)
+    weights = rng.randn(k ** 3, cin, cout).astype(np.float32) * 0.3
+    bias = rng.randn(cout).astype(np.float32)
+
+    out, oc, ov, pairs = jax.jit(
+        lambda f, c, v: sparse_conv3d(
+            f, c, v, jnp.asarray(weights), stride=s, padding=p,
+            bias=jnp.asarray(bias), capacity=30 * k ** 3,
+            spatial_shape=grid))(jnp.asarray(feats), jnp.asarray(coords),
+                                 jnp.asarray(valid))
+    out, oc, ov = np.asarray(out), np.asarray(oc), np.asarray(ov)
+
+    # dense reference
+    dense = np.zeros((1,) + grid + (cin,), np.float32)
+    dense[0, coords[valid][:, 0], coords[valid][:, 1],
+          coords[valid][:, 2]] = feats[valid]
+    kern = weights.reshape(k, k, k, cin, cout)
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(dense), jnp.asarray(kern), (s, s, s),
+        [(p, p)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC")))[0]
+
+    # expected site set: any active input inside the receptive field
+    out_shape = tuple((g + 2 * p - k) // s + 1 for g in grid)
+    expected = set()
+    for x in coords[valid]:
+        for off in np.ndindex(k, k, k):
+            o = x + p - np.asarray(off)
+            if np.all(o % s == 0):
+                o = o // s
+                if np.all(o >= 0) and np.all(o < out_shape):
+                    expected.add(tuple(o))
+    got = {tuple(c) for c in oc[ov]}
+    assert got == expected
+    for i in np.where(ov)[0]:
+        np.testing.assert_allclose(out[i], ref[tuple(oc[i])] + bias,
+                                   rtol=1e-4, atol=1e-4)
+    assert np.all(out[~ov] == 0)
+    # pairs point at the right inputs (feed the inverse couple)
+    assert pairs.shape == (30 * k ** 3, k ** 3)
+
+
+def test_sparse_inverse_conv3d_matches_loop():
+    """Inverse conv scatters back onto the couple's pre-strided sites
+    (SparseInverseConv3d, conv.py:153-208)."""
+    rng = np.random.RandomState(1)
+    grid, cin, cmid, cout, k, s, p = (6, 6, 6), 2, 4, 3, 3, 2, 1
+    coords, valid, feats = _random_voxels(rng, 20, 3, grid, cin)
+    w_down = rng.randn(k ** 3, cin, cmid).astype(np.float32) * 0.3
+    w_up = rng.randn(k ** 3, cmid, cout).astype(np.float32) * 0.3
+
+    mid, oc, ov, pairs = sparse_conv3d(
+        jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(valid),
+        jnp.asarray(w_down), stride=s, padding=p, capacity=len(coords) * 4,
+        spatial_shape=grid)
+    up = np.asarray(jax.jit(
+        lambda f, pr: sparse_inverse_conv3d(f, pr, jnp.asarray(w_up),
+                                            n_out=len(coords)))(mid, pairs))
+
+    mid_np, pairs_np = np.asarray(mid), np.asarray(pairs)
+    ref = np.zeros((len(coords), cout), np.float32)
+    for o in range(pairs_np.shape[0]):
+        for pk in range(k ** 3):
+            i = pairs_np[o, pk]
+            if i >= 0:
+                ref[i] += mid_np[o] @ w_up[pk]
+    np.testing.assert_allclose(up, ref, rtol=1e-4, atol=1e-4)
+    # inverse lands only on original active sites
+    assert np.all(up[~valid] == 0)
+
+
+def test_sparse_maxpool3d_matches_loop():
+    """Max over PRESENT neighbors only (SparseMaxPool3d, pool.py:21-81)."""
+    rng = np.random.RandomState(2)
+    grid, c, k = (6, 6, 6), 4, 2
+    coords, valid, feats = _random_voxels(rng, 25, 3, grid, c)
+    out, oc, ov = jax.jit(
+        lambda f, cd, v: sparse_maxpool3d(f, cd, v, kernel_size=k,
+                                          capacity=100,
+                                          spatial_shape=grid))(
+        jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(valid))
+    out, oc, ov = np.asarray(out), np.asarray(oc), np.asarray(ov)
+
+    lut = {tuple(cd): f for cd, f in zip(coords[valid], feats[valid])}
+    expected = {}
+    for x in lut:
+        o = tuple(np.asarray(x) // k)
+        cur = expected.get(o)
+        expected[o] = lut[x] if cur is None else np.maximum(cur, lut[x])
+    got = {tuple(c_): out[i] for i, c_ in enumerate(oc) if ov[i]}
+    assert set(got) == set(expected)
+    for site in expected:
+        np.testing.assert_allclose(got[site], expected[site], rtol=1e-6)
+
+
+def test_to_dense_roundtrip():
+    rng = np.random.RandomState(3)
+    coords, valid, feats = _random_voxels(rng, 15, 2, (4, 5, 6), 3)
+    dense = np.asarray(to_dense(jnp.asarray(feats), jnp.asarray(coords),
+                                jnp.asarray(valid), (4, 5, 6)))
+    assert dense.shape == (4, 5, 6, 3)
+    for cd, f, v in zip(coords, feats, valid):
+        if v:
+            np.testing.assert_allclose(dense[tuple(cd)], f)
+    assert np.count_nonzero(dense.reshape(-1, 3).any(-1)) == 15
 
 
 def test_boxes3d_conversion_and_membership():
