@@ -121,7 +121,15 @@ class _PlanTables:
 
     def __init__(self, ds: "PairDataset"):
         store, buckets = ds.store, ds.buckets
-        self.tok_str: List[str] = sorted(buckets.obj_buckets)
+        # index the UNION of sampling-eligible objects and everything in the
+        # store: ValErr/from_artifact pair lists may reference objects that
+        # were filtered out of the sampling index (e.g. <2 usable frames
+        # under min_pos_frames) — they must still resolve here, exactly as
+        # the reference's string-keyed val lists do. Rows outside
+        # obj_buckets are never drawn by the planners (candidates come from
+        # tp_tokens/neg_table), so their empty bucket/cdf rows are inert.
+        self.tok_str: List[str] = sorted(set(buckets.obj_buckets)
+                                         | set(store.objects))
         self.uindex: Dict[str, int] = {t: i for i, t in enumerate(self.tok_str)}
         U = len(self.tok_str)
         self.is_fp = np.zeros(U, bool)
@@ -161,17 +169,18 @@ class _PlanTables:
                 f_vis.append(v - 1 if v in (1, 2, 3, 4) else -1)
                 f_dist.append(float(rec.distance.get(f, -1.0)))
             self.frame_off[u + 1] = len(frame_str)
-            usable_flat.extend(local[str(f)] for f in ds.frames[tok])
+            usable_flat.extend(local[str(f)] for f in ds.frames.get(tok, ()))
             self.usable_off[u + 1] = len(usable_flat)
-            ob = buckets.obj_buckets[tok]
+            ob = buckets.obj_buckets.get(tok, {})
             for b in range(len(POW2_BUCKETS)):
                 fl = ob.get(b, ())
                 self.bucket_off[u, b] = len(bucket_flat)
                 self.bucket_cnt[u, b] = len(fl)
                 bucket_flat.extend(local[str(f)] for f in fl)
-                self.resolved_bucket[u, b] = \
-                    buckets.nearest_nonempty_bucket(tok, b)
-            cdf[u] = np.cumsum(buckets.distribution[tok])
+                self.resolved_bucket[u, b] = (
+                    buckets.nearest_nonempty_bucket(tok, b) if ob else -1)
+            if tok in buckets.distribution:
+                cdf[u] = np.cumsum(buckets.distribution[tok])
 
         self.frame_str = frame_str
         self.frame_num_pts = np.asarray(f_pts, np.int32)
@@ -833,8 +842,14 @@ class ConcatPairs:
         return int(self.offsets[-1])
 
     def set_epoch(self, epoch: int, seed: int = 0):
-        for d in self.datasets:
-            d.set_epoch(epoch, seed)
+        # member k's stream is keyed off (seed, k): forwarding one seed
+        # verbatim would make two members over the same store emit
+        # bit-identical pair streams (every per-item draw is keyed by
+        # (seed, epoch, index) alone). Member 0 keeps the raw seed so a
+        # 1-member concat is stream-identical to the bare dataset.
+        for k, d in enumerate(self.datasets):
+            d.set_epoch(epoch, seed if k == 0
+                        else (seed + k * 0x9E3779B1) & 0x7FFFFFFF)
 
     def _locate(self, i: int) -> Tuple[int, int]:
         i = int(i) % len(self)
@@ -850,16 +865,30 @@ class ConcatPairs:
         return all(d.supports_batch_load for d in self.datasets)
 
     def sample_batch(self, indices) -> Dict[str, np.ndarray]:
-        located = [self._locate(int(i)) for i in indices]
-        out: List[Any] = [None] * len(located)
+        # vectorized reassembly: scatter each member's sub-batch arrays by
+        # output position — no per-item dict decomposition / re-collation
+        # (that path reintroduced the per-item Python cost the vectorized
+        # planner removed)
+        idx = np.asarray(indices, np.int64) % len(self)
+        member = np.searchsorted(self.offsets, idx, side="right") - 1
+        local = idx - self.offsets[member]
+        subs, poss = [], []
         for k, d in enumerate(self.datasets):
-            pos = [b for b, (kk, _) in enumerate(located) if kk == k]
-            if not pos:
-                continue
-            sub = d.sample_batch([located[b][1] for b in pos])
-            for r, b in enumerate(pos):
-                out[b] = {key: v[r] for key, v in sub.items()}
-        return collate_pairs(out)
+            pos = np.nonzero(member == k)[0]
+            if pos.size:
+                subs.append(d.sample_batch(local[pos]))
+                poss.append(pos)
+        if len(subs) == 1:
+            return subs[0]           # poss[0] is ascending == output order
+        out: Dict[str, np.ndarray] = {}
+        n = len(idx)
+        for key, first in subs[0].items():
+            first = np.asarray(first)
+            arr = np.empty((n,) + first.shape[1:], dtype=first.dtype)
+            for sub, pos in zip(subs, poss):
+                arr[pos] = sub[key]
+            out[key] = arr
+        return out
 
 
 class RepeatPairs:

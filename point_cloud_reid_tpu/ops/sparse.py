@@ -206,8 +206,9 @@ def build_strided_output(coords: jnp.ndarray, valid: jnp.ndarray,
 
     Dynamic rulebook -> fixed capacity: output slots are allocated by a
     counter inside a jit-compatible hash insert, first-occurrence order
-    (deterministic). Overflow beyond `capacity` is dropped silently — size
-    capacity to the worst case (V * k^3) when exactness matters.
+    (deterministic). Overflow beyond `capacity` is dropped silently — the
+    exact worst case is V * ceil(k/s)^3 (each input voxel covers at most
+    ceil(k/s) output sites per axis), which is what the callers default to.
 
     Returns:
         out_coords: (capacity, 3) int32 (padded rows zero)
@@ -284,15 +285,18 @@ def sparse_conv3d(features: jnp.ndarray, coords: jnp.ndarray,
         features: (V, Cin); coords: (V, 3) int32; valid: (V,).
         weights: (P, Cin, Cout), P = k^3 in corner-offset order
             (out*s - p + off == in).
-        capacity: static output-row budget (default V — exact whenever the
-            stride downsamples, i.e. the usual s >= 2 encoder step).
+        capacity: static output-row budget. A strided sparse conv DILATES a
+            sparse active set (each voxel covers up to ceil(k/s)^3 output
+            sites), so the default is the exact worst case
+            V * ceil(k/s)^3; pass a tighter bound to trade memory when the
+            occupancy is dense enough that footprints overlap.
     Returns:
         (out_features (capacity, Cout), out_coords, out_valid, pairs) —
         `pairs` feeds the couple sparse_inverse_conv3d.
     """
     P, Cin, Cout = weights.shape
     k = int(round(P ** (1 / 3)))
-    capacity = capacity or coords.shape[0]
+    capacity = capacity or coords.shape[0] * (-(-k // stride)) ** 3
     out_coords, out_valid, pairs = build_strided_output(
         coords, valid, k, stride, padding, capacity, spatial_shape)
     mask = pairs >= 0
@@ -344,9 +348,11 @@ def sparse_maxpool3d(features: jnp.ndarray, coords: jnp.ndarray,
     over PRESENT neighbors only (absent kernel taps contribute nothing, not
     zeros — matching the reference's rulebook-gathered max).
 
-    Returns (out_features, out_coords, out_valid)."""
+    Returns (out_features, out_coords, out_valid). Default capacity is the
+    exact worst case V * ceil(k/s)^3 (= V for the usual stride == kernel
+    non-overlapping pool; larger when stride < kernel_size)."""
     stride = stride or kernel_size
-    capacity = capacity or coords.shape[0]
+    capacity = capacity or coords.shape[0] * (-(-kernel_size // stride)) ** 3
     out_coords, out_valid, pairs = build_strided_output(
         coords, valid, kernel_size, stride, padding, capacity, spatial_shape)
     mask = pairs >= 0                                        # (capacity, P)

@@ -233,7 +233,8 @@ class TrackingManager:
         # box counts are bucket-padded so programs compile once per bucket
         if self.crop_fn is None:
             n_pad = _round_up(max(len(points), 1),
-                              sizes=(2048, 8192, 32768, 131072, 524288))
+                              sizes=(2048, 8192, 32768, 131072, 262144,
+                                     524288))
             pts = np.zeros((n_pad, 3), np.float32)
             pts[:] = 1e6                           # padding far from any box
             pts[:len(points)] = np.asarray(points, np.float32)[:, :3]

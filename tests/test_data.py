@@ -296,6 +296,72 @@ def test_concat_repeat_wrappers(tmp_path):
     with pytest.raises(ValueError):
         ConcatPairs([])
 
+    # set_epoch must NOT collapse member streams: two members over the same
+    # store get distinct per-member seeds (regression: a verbatim seed
+    # broadcast made datasets[0].sample(i) == datasets[1].sample(i) exactly)
+    cat.set_epoch(1, seed=7)
+    same = sum(
+        np.array_equal(cat.datasets[0].sample(i)["sparse_1"],
+                       cat.datasets[1].sample(i)["sparse_1"])
+        for i in range(8))
+    assert same < 8
+    # ...while a 1-member concat stays stream-identical to the bare dataset
+    solo = build_pair_dataset(dict(cfg), store)
+    lone = ConcatPairs([build_pair_dataset(dict(cfg), store)])
+    solo.set_epoch(1, seed=7)
+    lone.set_epoch(1, seed=7)
+    np.testing.assert_array_equal(solo.sample(2)["sparse_1"],
+                                  lone.sample(2)["sparse_1"])
+    # batched path agrees with per-item PAIR IDENTITY after set_epoch (the
+    # vectorized scatter must not permute rows; raw arrays differ by the
+    # batch/per-item resampling-draw contract, same as the bare dataset)
+    batch = cat.sample_batch(idxs)
+    ref = collate_pairs([cat.sample(i) for i in idxs])
+    for k in ("label_1", "label_2", "id_1", "id_2", "size_1", "size_2"):
+        np.testing.assert_array_equal(batch[k], ref[k])
+    assert batch["sparse_1"].shape == ref["sparse_1"].shape
+
+
+def test_valerr_pairs_reference_filtered_out_objects(tmp_path):
+    """Val pair lists may reference store objects that were EXCLUDED from
+    the sampling index (e.g. too few usable frames for min_pos_frames) —
+    they must still resolve, like the reference's string-keyed val lists
+    (regression: _PlanTables indexed only sampling-eligible objects and
+    from_artifact pairs naming others raised KeyError)."""
+    from point_cloud_reid_tpu.data import SyntheticStore, ValEvenPairs
+
+    store = SyntheticStore(num_objects=12, frames_per_obj=4, seed=6,
+                           class_names=["car", "pedestrian"])
+    common = dict(store=store, classes=["car", "pedestrian"],
+                  cls_to_idx={"car": 0, "pedestrian": 1},
+                  tracking_classes={"car": "car", "pedestrian": "pedestrian"},
+                  subsample_sparse=16)
+    # an object with only ONE usable frame is dropped from the sampling
+    # index (min_pos_frames=2) but stays in the store
+    probe = ValEvenPairs(build_pairs=False, **common)
+    victim = probe.tp_tokens[0]
+    rec = store.objects[victim]
+    frames = sorted(rec.num_pts)
+    keep = frames[0]
+    for f in frames[1:]:
+        rec.num_pts[f] = 0                     # below min_points -> unusable
+    other = [t for t in probe.tp_tokens[1:]
+             if store.objects[t].class_name == rec.class_name][0]
+    o_frames = sorted(store.objects[other].num_pts)
+
+    pairs = dict(
+        positives=[dict(tok=victim, o1=keep, o2=keep, cls=0)],
+        negatives=[dict(tok1=victim, o1=keep, cls1=0,
+                        tok2=other, o2=o_frames[0], cls2=0)])
+    ds = ValEvenPairs.from_artifact(pairs, **common)
+    assert victim not in ds.tp_tokens          # really filtered out
+    item = ds.sample(0)
+    assert item["sparse_1"].shape == (16, 3)
+    neg = ds.sample(1)
+    assert neg["id_1"] != neg["id_2"]
+    plan = ds.plan_batch([0, 1])               # the batched-planner path
+    assert plan["u1"].shape == (2,)
+
 
 def test_distance_metadata_end_to_end():
     """Every sampled item carries real per-frame ego BEV distances matching

@@ -113,12 +113,16 @@ def gather_ab():
 
 
 def main():
-    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-    B = int(pos[0]) if pos else 256
+    argv = sys.argv[1:]
     pts = [128, 160, 256, 512, 1024, 2048]
-    for i, a in enumerate(sys.argv[1:]):
+    flag_values = set()
+    for i, a in enumerate(argv):
         if a == "--pts":
-            pts = [int(x) for x in sys.argv[1:][i + 1].split(",")]
+            pts = [int(x) for x in argv[i + 1].split(",")]
+            flag_values.add(i + 1)
+    pos = [a for i, a in enumerate(argv)
+           if not a.startswith("--") and i not in flag_values]
+    B = int(pos[0]) if pos else 256
     if "--gather" in sys.argv:
         gather_ab()
     else:
