@@ -399,17 +399,28 @@ def main():
                          train_mfu=round(mfu, 4) if mfu else None)
     except Exception as e:     # never kill the headline
         secondary.update(train_step_ms=None, train_error=str(e)[:120])
-    try:
-        e2e_ms = _bench_tracker_e2e(model, variables)
-        secondary["tracker_e2e_ms"] = round(e2e_ms, 1)
-    except Exception as e:
-        secondary.update(tracker_e2e_ms=None, e2e_error=str(e)[:120])
-    try:
-        # Waymo-dense e2e: 256 objects, 153.6k-pt sweeps, 65k pairs/frame
-        e2e_256 = _bench_tracker_e2e(model, variables, n_obj=256)
-        secondary["tracker_e2e_256_ms"] = round(e2e_256, 1)
-    except Exception as e:
-        secondary.update(tracker_e2e_256_ms=None, e2e_256_error=str(e)[:120])
+    # retry each e2e once so a transient tunnel/compile-helper flake can't
+    # null a driver-visible field. (The one repeated failure here turned out
+    # to be deterministic, not flaky: a 512-track frame overflowed scoped
+    # VMEM — fixed by _track_chunks in ops/pallas/match_grid.py.)
+    for attempt in range(2):
+        try:
+            e2e_ms = _bench_tracker_e2e(model, variables)
+            secondary["tracker_e2e_ms"] = round(e2e_ms, 1)
+            secondary.pop("e2e_error", None)
+            break
+        except Exception as e:
+            secondary.update(tracker_e2e_ms=None, e2e_error=str(e)[:120])
+    for attempt in range(2):
+        try:
+            # Waymo-dense e2e: 256 objects, 153.6k-pt sweeps, 65k pairs/frame
+            e2e_256 = _bench_tracker_e2e(model, variables, n_obj=256)
+            secondary["tracker_e2e_256_ms"] = round(e2e_256, 1)
+            secondary.pop("e2e_256_error", None)
+            break
+        except Exception as e:
+            secondary.update(tracker_e2e_256_ms=None,
+                             e2e_256_error=str(e)[:120])
     try:
         img_ms, img_pps, img_backend, img_err = _bench_image_frame()
         secondary.update(image_frame_ms=round(img_ms, 2),

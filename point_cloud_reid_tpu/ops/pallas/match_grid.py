@@ -464,19 +464,28 @@ def pallas_image_grid_logits(model, variables, h_t, h_d,
     qt, kvzt, at1 = image_grid_factors(params, h_t, nhead)
     qd, kvzd, ad1 = image_grid_factors(params, h_d, nhead)
     w1, w2 = stage_weights(params)
-    pooled = fused_match_grid(
-        _pad_tokens(h_t, n_pad), _pad_tokens(qt, n_pad), kvzt,
-        _pad_tokens(at1, n_pad), None,
-        _pad_tokens(h_d, n_pad), _pad_tokens(qd, n_pad), kvzd,
-        _pad_tokens(ad1, n_pad), None,
-        w1, w2, nhead, det_block, interpret,
-        n_true=(S if S != n_pad else 0), vmem_limit_mb=vmem_limit_mb,
-        debug_skip=debug_skip)
+    ht_p, qt_p, at_p = (_pad_tokens(h_t, n_pad), _pad_tokens(qt, n_pad),
+                        _pad_tokens(at1, n_pad))
+    hd_p, qd_p, ad_p = (_pad_tokens(h_d, n_pad), _pad_tokens(qd, n_pad),
+                        _pad_tokens(ad1, n_pad))
     nt, nd = h_t.shape[0], h_d.shape[0]
-    logits = model.apply(
-        variables, pooled.reshape(nt * nd, pooled.shape[-1]),
-        method=lambda m, x: m._match_head(x, train=False))[..., 0]
-    return logits.reshape(nt, nd)
+
+    def head(lo, hi):
+        pooled = fused_match_grid(
+            ht_p[lo:hi], qt_p[lo:hi], kvzt[lo:hi], at_p[lo:hi], None,
+            hd_p, qd_p, kvzd, ad_p, None,
+            w1, w2, nhead, det_block, interpret,
+            n_true=(S if S != n_pad else 0), vmem_limit_mb=vmem_limit_mb,
+            debug_skip=debug_skip)
+        logits = model.apply(
+            variables, pooled.reshape((hi - lo) * nd, pooled.shape[-1]),
+            method=lambda m, x: m._match_head(x, train=False))[..., 0]
+        return logits.reshape(hi - lo, nd)
+
+    chunks = _track_chunks(nt, nd)
+    if len(chunks) == 1:
+        return head(0, nt)
+    return jnp.concatenate([head(lo, hi) for lo, hi in chunks], axis=0)
 
 
 def sharded_image_grid_logits(model, variables, h_t, h_d, mesh,
@@ -504,6 +513,26 @@ def sharded_image_grid_logits(model, variables, h_t, h_d, mesh,
     return fn(h_t, h_d)
 
 
+# Track-axis chunking bound for one fused kernel call, in PAIRS. XLA
+# stack-allocates the kernel's pooled (nt, nd, 2C) output in scoped VMEM
+# when it feeds the match head; past the largest measured-good grid
+# (256x256 = 65,536 pairs, the bench's Waymo-dense frame) that promotion
+# blows the 24 MB scoped-vmem limit and the whole program FAILS TO COMPILE
+# ("Ran out of memory in memory space vmem ... for %frame = bf16[512,256,128]
+# custom-call", first seen when a noisy-weights tracker birthed 512 live
+# tracks). Chunks of <= this many pairs keep every sub-call bit-identical in
+# structure to the proven shapes; only the (nt, nd) logits are concatenated.
+_MAX_PAIRS_PER_CALL = 65536
+
+
+def _track_chunks(nt: int, nd: int):
+    """Even track-slice bounds so each kernel call scores <= the pair cap
+    (one slice -> [(0, nt)] -> the call is byte-identical to unchunked)."""
+    n_chunks = max(1, -(-nt * nd // _MAX_PAIRS_PER_CALL))
+    step = -(-nt // n_chunks)
+    return [(s, min(nt, s + step)) for s in range(0, nt, step)]
+
+
 def pallas_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
                        det_block: int = 8, interpret: bool = False,
                        debug_skip: frozenset = frozenset()) -> jnp.ndarray:
@@ -511,21 +540,31 @@ def pallas_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
 
     Drop-in equivalent of ReIDNet.match_logits_grid for the flagship config
     (xcorr_eff / linear / point-cat / both-pool); the caller is responsible
-    for checking compatibility (PairScorer does)."""
+    for checking compatibility (PairScorer does). Grids past
+    _MAX_PAIRS_PER_CALL run the kernel + head per track slice (factors are
+    computed once; pairs are independent along tracks)."""
     params = variables["params"]
     nhead = dict(model.cross_stage1)["nhead"]
     qt, kvzt, at1, pvt = grid_factors(params, h_t, xyz_t, nhead)
     qd, kvzd, ad1, pvd = grid_factors(params, h_d, xyz_d, nhead)
     w1, w2 = stage_weights(params)
-    pooled = fused_match_grid(h_t, qt, kvzt, at1, pvt,
-                              h_d, qd, kvzd, ad1, pvd,
-                              w1, w2, nhead, det_block, interpret,
-                              debug_skip=debug_skip)
     nt, nd = h_t.shape[0], h_d.shape[0]
-    logits = model.apply(
-        variables, pooled.reshape(nt * nd, pooled.shape[-1]),
-        method=lambda m, x: m._match_head(x, train=False))[..., 0]
-    return logits.reshape(nt, nd)
+
+    def head(lo, hi):
+        pooled = fused_match_grid(h_t[lo:hi], qt[lo:hi], kvzt[lo:hi],
+                                  at1[lo:hi], pvt[lo:hi],
+                                  h_d, qd, kvzd, ad1, pvd,
+                                  w1, w2, nhead, det_block, interpret,
+                                  debug_skip=debug_skip)
+        logits = model.apply(
+            variables, pooled.reshape((hi - lo) * nd, pooled.shape[-1]),
+            method=lambda m, x: m._match_head(x, train=False))[..., 0]
+        return logits.reshape(hi - lo, nd)
+
+    chunks = _track_chunks(nt, nd)
+    if len(chunks) == 1:
+        return head(0, nt)
+    return jnp.concatenate([head(lo, hi) for lo, hi in chunks], axis=0)
 
 
 def sharded_grid_logits(model, variables, h_t, xyz_t, h_d, xyz_d,

@@ -104,6 +104,41 @@ def test_pallas_grid_matches_xla(experiment):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_pallas_grid_track_chunking_matches_unchunked(monkeypatch):
+    """Grids past _MAX_PAIRS_PER_CALL run the kernel + match head per track
+    slice (the 512-track Waymo-dense tracker frame overflowed XLA's 24 MB
+    scoped-vmem budget when the pooled output was stack-allocated whole).
+    Forcing a tiny cap must reproduce the unchunked logits exactly — slicing
+    the track axis is a no-op on the per-pair math."""
+    from point_cloud_reid_tpu.ops.pallas import match_grid as mg
+    model, variables = _make()
+    nt, nd, n = 6, 8, 16
+    tracks = jax.random.normal(jax.random.PRNGKey(12), (nt, n, 3))
+    dets = jax.random.normal(jax.random.PRNGKey(13), (nd, n, 3))
+    x_t, h_t = _embed(model, variables, tracks)
+    x_d, h_d = _embed(model, variables, dets)
+    whole = mg.pallas_grid_logits(model, variables, h_t, x_t, h_d, x_d,
+                                  det_block=4, interpret=True)
+    monkeypatch.setattr(mg, "_MAX_PAIRS_PER_CALL", 2 * nd)  # 3 chunks of 2
+    assert len(mg._track_chunks(nt, nd)) == 3
+    chunked = mg.pallas_grid_logits(model, variables, h_t, x_t, h_d, x_d,
+                                    det_block=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(whole))
+
+
+def test_image_grid_track_chunking_matches_unchunked(monkeypatch):
+    """Same chunk-parity pin for the image-head kernel wrapper."""
+    from point_cloud_reid_tpu.ops.pallas import match_grid as mg
+    nd = 8
+    model, variables, h_t, h_d = _make_image(S=18, nt=5, nd=nd)
+    whole = mg.pallas_image_grid_logits(model, variables, h_t, h_d,
+                                        det_block=4, interpret=True)
+    monkeypatch.setattr(mg, "_MAX_PAIRS_PER_CALL", 2 * nd)
+    chunked = mg.pallas_image_grid_logits(model, variables, h_t, h_d,
+                                          det_block=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(whole))
+
+
 def test_decomposed_stage_matches_full_call():
     """CrossAttentionBlock.finish_from_summary == __call__ on aligned pairs."""
     from point_cloud_reid_tpu.models.attention_blocks import CrossAttentionBlock
