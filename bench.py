@@ -23,10 +23,14 @@ The headline fields are unchanged from round 1; "secondary" adds:
   input_vs_train_step       input throughput / train-step throughput (>1 =
                             the loader keeps the chip fed)
   tracker_e2e_ms            full TrackingManager.step median (96 objects,
-                            57.6k-pt sweeps, DeviceTrackCache; includes the
-                            per-frame tunnel RTTs in this environment)
+                            57.6k-pt sweeps, DeviceTrackCache, 'auto' gated
+                            sparse scoring; includes the per-frame tunnel
+                            RTTs in this environment)
   tracker_e2e_256_ms        same at Waymo density: 256 objects, 153.6k-pt
-                            sweeps, 65k pairs scored per frame
+                            sweeps, 131k-pair padded grid per frame —
+                            'auto' gated SPARSE scoring applies here (only
+                            the ~1k class+BEV gate survivors are scored;
+                            tracker_e2e_256_sparse records that it ran)
   image_frame_ms / image_pairs_per_sec_per_chip
                             DeiT-tiny image-branch frame, 64x64 grid incl.
                             embedding the 64 224x224 crops
@@ -268,6 +272,7 @@ def _bench_tracker_e2e(model, variables, n_obj: int = 96,
     sweep_pts = n_obj * pts_per_obj
     scorer = PairScorer(model, variables)
     mgr = TrackingManager(scorer, subsample_number=128)
+    _bench_tracker_e2e.last_mgr = mgr      # expose: did sparse scoring run?
     centers = (rs.rand(n_obj, 3) * 40 - 20).astype(np.float32)
     centers[:, 2] = 0.0
     per_obj = sweep_pts // n_obj
@@ -413,9 +418,13 @@ def main():
             secondary.update(tracker_e2e_ms=None, e2e_error=str(e)[:120])
     for attempt in range(2):
         try:
-            # Waymo-dense e2e: 256 objects, 153.6k-pt sweeps, 65k pairs/frame
+            # Waymo-dense e2e: 256 objects, 153.6k-pt sweeps, 131k gated
+            # pairs/frame — 'auto' sparse scoring kicks in at this density
+            # (gated pair-list kernel; tracking/manager.py _sparse_on)
             e2e_256 = _bench_tracker_e2e(model, variables, n_obj=256)
             secondary["tracker_e2e_256_ms"] = round(e2e_256, 1)
+            secondary["tracker_e2e_256_sparse"] = bool(
+                _bench_tracker_e2e.last_mgr._cached_pair_frame_fns)
             secondary.pop("e2e_256_error", None)
             break
         except Exception as e:

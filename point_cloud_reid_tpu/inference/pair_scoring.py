@@ -538,6 +538,77 @@ class PairScorer:
         call.jitted = frame
         return call
 
+    # ---- gated sparse scoring (pair lists) -----------------------------------
+
+    def _pair_backend(self, p_pad: int) -> str:
+        """Sparse pair-list dispatch: the fused pallas pair kernel single-chip
+        (pair blocks are 16 rows), the XLA match_logits gather path otherwise
+        (non-divisible P, incompatible heads, or a mesh — the pair batch is
+        tiny and flat there, XLA shards it like any training batch)."""
+        if self._use_pallas and self.mesh is None and p_pad % 16 == 0:
+            return "pallas"
+        return "xla"
+
+    def _pair_logits(self, variables, h_t, xyz_t, h_d, xyz_d,
+                     t_idx, d_idx, backend: str):
+        if backend == "pallas":
+            from ..ops.pallas.match_grid import pallas_pair_logits
+            return pallas_pair_logits(self.model, variables, h_t, xyz_t,
+                                      h_d, xyz_d, t_idx, d_idx,
+                                      interpret=self._interpret)
+        from ..ops.pallas.match_grid import xla_pair_logits
+        return xla_pair_logits(self.model, variables, h_t, xyz_t, h_d, xyz_d,
+                               t_idx, d_idx)
+
+    def make_cached_pair_frame_fn(self, t_pad: int, d_pad: int,
+                                  d_prev_pad: int, p_pad: int,
+                                  capacity: int, crop_points: int):
+        """Gated sparse variant of make_cached_frame_fn: identical scatter /
+        gather / crop / embed plumbing, but only an explicit pair LIST is
+        scored — (p_pad,) logits out instead of the (t_pad, d_pad) grid.
+
+        This is the dense-frame fast path: the reference only scores pairs
+        that survive its class + BEV gates (tracking_point_reid.py:110-116),
+        and at Waymo density that is ~1% of the grid — the all-pairs kernel
+        spends ~150 ms of a 173 ms device frame on pairs the gate discards.
+        Callers pad the pair list to p_pad; padded rows point at (0, 0) and
+        their logits are discarded on host.
+
+        Returns fn(h_buf, xyz_buf, prev_h, prev_xyz, upd_src, upd_dst,
+        slot_idx (t_pad,), pair_t (p_pad,), pair_d (p_pad,), seed, pts,
+        boxes) -> (new_h_buf, new_xyz_buf, logits (p_pad,), h_dets,
+        xyz_dets)."""
+        assert not self.image_mode, "device cache is a point-branch path"
+        pair_backend = self._pair_backend(p_pad)
+        pair_logits = self._pair_logits
+        embed_fn = self._make_embed_fn(d_pad)
+
+        @jax.jit
+        def frame(variables, h_buf, xyz_buf, prev_h, prev_xyz,
+                  upd_src, upd_dst, slot_idx, pair_t, pair_d, seed, pts,
+                  boxes):
+            h_buf = h_buf.at[upd_dst].set(prev_h[upd_src])
+            xyz_buf = xyz_buf.at[upd_dst].set(prev_xyz[upd_src])
+            h_t = h_buf[slot_idx]
+            xyz_t = xyz_buf[slot_idx]
+
+            from ..tracking.crops import extract_box_crops
+            det_crops, _ = extract_box_crops(jax.random.PRNGKey(seed), pts,
+                                             boxes, crop_points)
+            xyz_d, h_d = embed_fn(variables, det_crops)
+            logits = pair_logits(variables, h_t, xyz_t, h_d, xyz_d,
+                                 pair_t, pair_d, pair_backend)
+            return h_buf, xyz_buf, logits, h_d, xyz_d
+
+        def call(h_buf, xyz_buf, prev_h, prev_xyz, upd_src, upd_dst,
+                 slot_idx, pair_t, pair_d, seed, pts, boxes):
+            return frame(self.variables, h_buf, xyz_buf, prev_h, prev_xyz,
+                         upd_src, upd_dst, slot_idx, pair_t, pair_d, seed,
+                         pts, boxes)
+
+        call.jitted = frame
+        return call
+
     def score_frame(self, cache: FeatureCache, track_ids, det_crops,
                     track_classes=None, det_classes=None):
         """One tracking frame (10 Hz workload): embed new detections, score

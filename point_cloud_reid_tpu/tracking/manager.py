@@ -46,7 +46,8 @@ class TrackingManager:
                  nms_threshold: Optional[float] = None, seed: int = 0,
                  crop_fn=None, eval_recorder=None,
                  device_cache: Optional[bool] = None,
-                 cache_capacity: int = 512):
+                 cache_capacity: int = 512,
+                 sparse_scoring: str = "auto"):
         """crop_fn(frame_data, boxes_padded (M,7)) -> (M, ...) crops overrides
         the default lidar extractor — the image branch passes a closure over
         tracking.image_crops.crops_per_frame (ImageReidentifier workload,
@@ -88,6 +89,19 @@ class TrackingManager:
         self._prev_h = None
         self._prev_xyz = None
         self._prev_d_pad = 8
+        # gated sparse scoring: score ONLY the class+BEV gate survivors as a
+        # bucket-padded pair list instead of the full t_pad x d_pad grid.
+        # The reference itself never scores ungated pairs (it gathers the
+        # survivors and loops match_forward_inference,
+        # tracking_point_reid.py:110-116); at Waymo density the 2 m gate
+        # kills ~99% of the grid, so this cuts the dominant kernel ~50x.
+        # 'auto' switches on past _SPARSE_MIN_GRID padded pairs — small
+        # frames keep the measured-optimal dense kernel (the pair list
+        # double-pays the per-pair factor VMEM traffic, so it only wins when
+        # the gate is sparse); 'always'/'never' force it for tests/benches.
+        assert sparse_scoring in ("auto", "always", "never"), sparse_scoring
+        self.sparse_scoring = sparse_scoring
+        self._cached_pair_frame_fns = {}
 
     def _full_frame_fn(self, t_pad: int, d_pad: int):
         """ONE jitted program per (track, det) bucket for the frame's device
@@ -127,6 +141,7 @@ class TrackingManager:
         self._dc = DeviceTrackCache(self._dc.capacity)
         self._prev_h = self._prev_xyz = None
         self._prev_d_pad = 8
+        self._last_p_pad = 0
         self.timestep = -1
 
     def _cached_frame_fn(self, t_pad: int, d_pad: int, d_prev_pad: int):
@@ -137,10 +152,41 @@ class TrackingManager:
                 self.subsample_number)
         return self._cached_frame_fns[key]
 
+    # padded-grid size past which 'auto' sparse scoring kicks in. Measured
+    # on v5e (tools/profile_tracker_e2e.py --sparse/--dense): sparse wins
+    # big at BOTH measured densities — 96 obj (128x128 bucket) 12.3 ms
+    # device vs ~45-50 dense, 256 det Waymo-dense (512x256) 32.9 vs 172.9 —
+    # so only small grids, where per-frame p_pad bucket churn would cost
+    # more compiles than the kernel saves, stay dense. The >25%-gate-pass
+    # fallback in step() guards the crowded-scene case at any size.
+    _SPARSE_MIN_GRID = 4096
+
+    def _sparse_on(self, n_tracks: int, d_pad: int) -> bool:
+        if self.sparse_scoring == "never":
+            return False
+        if self.sparse_scoring == "always":
+            return True
+        return _round_up(max(n_tracks, 1)) * d_pad > self._SPARSE_MIN_GRID
+
+    def _cached_pair_frame_fn(self, t_pad: int, d_pad: int, d_prev_pad: int,
+                              p_pad: int):
+        key = (t_pad, d_pad, d_prev_pad, p_pad)
+        if key not in self._cached_pair_frame_fns:
+            self._cached_pair_frame_fns[key] = (
+                self.scorer.make_cached_pair_frame_fn(
+                    t_pad, d_pad, d_prev_pad, p_pad, self._dc.capacity,
+                    self.subsample_number))
+        return self._cached_pair_frame_fns[key]
+
     def _step_device_cached(self, pts: np.ndarray, boxes_p: np.ndarray,
-                            D: int, active):
+                            D: int, active, pairs: Optional[np.ndarray] = None):
         """Device-cache frame: returns (logits (T, D) np or None, h_d, xyz_d
-        DEVICE handles). Applies last frame's pending feature scatters."""
+        DEVICE handles). Applies last frame's pending feature scatters.
+
+        With `pairs` ((P, 2) int gate-surviving (track, det) indices), only
+        the listed pairs are scored (bucket-padded pair list through the
+        fused pair kernel); every other cell of the returned matrix is -inf
+        — exactly what the downstream class mask + gate would have forced."""
         dc = self._dc
         d_pad = boxes_p.shape[0]
         self._seed += 1
@@ -159,19 +205,48 @@ class TrackingManager:
         for i, t in enumerate(active):
             slot_idx[i] = dc.slot(t.track_id)
         upd_src, upd_dst = dc.take_updates(self._prev_d_pad)
-        fn = self._cached_frame_fn(t_pad, d_pad, self._prev_d_pad)
-        # ONE host->device transfer for all per-frame inputs (each separate
-        # jnp.asarray costs a full tunnel/PCIe round trip)
-        upd_src_d, upd_dst_d, slot_idx_d, pts_d, boxes_d = jax.device_put(
-            (upd_src, upd_dst, slot_idx, pts, boxes_p))
+        if pairs is None:
+            fn = self._cached_frame_fn(t_pad, d_pad, self._prev_d_pad)
+            # ONE host->device transfer for all per-frame inputs (each
+            # separate jnp.asarray costs a full tunnel/PCIe round trip)
+            upd_src_d, upd_dst_d, slot_idx_d, pts_d, boxes_d = jax.device_put(
+                (upd_src, upd_dst, slot_idx, pts, boxes_p))
+            dc.h_buf, dc.xyz_buf, logits_dev, h_d, xyz_d = fn(
+                dc.h_buf, dc.xyz_buf, self._prev_h, self._prev_xyz,
+                upd_src_d, upd_dst_d, slot_idx_d, np.int32(self._seed),
+                pts_d, boxes_d)
+            self._prev_h, self._prev_xyz, self._prev_d_pad = h_d, xyz_d, d_pad
+            logits = None
+            if T:
+                logits = np.asarray(logits_dev, np.float64)[:T, :D]
+            return logits, h_d, xyz_d
+        P = len(pairs)
+        p_pad = _round_up(max(P, 1), sizes=(16, 32, 64, 128, 256, 512))
+        # sticky bucket: P fluctuates frame to frame around bucket edges and
+        # every new p_pad is a fresh compile — keep the larger bucket until
+        # the pair count drops to a quarter of it
+        last = getattr(self, "_last_p_pad", 0)
+        if p_pad < last <= 4 * max(P, 1):
+            p_pad = last
+        self._last_p_pad = p_pad
+        pair_t = np.zeros((p_pad,), np.int32)   # pad rows score pair (0, 0)
+        pair_d = np.zeros((p_pad,), np.int32)
+        if P:
+            pair_t[:P] = pairs[:, 0]
+            pair_d[:P] = pairs[:, 1]
+        fn = self._cached_pair_frame_fn(t_pad, d_pad, self._prev_d_pad, p_pad)
+        (upd_src_d, upd_dst_d, slot_idx_d, pair_t_d, pair_d_d, pts_d,
+         boxes_d) = jax.device_put(
+            (upd_src, upd_dst, slot_idx, pair_t, pair_d, pts, boxes_p))
         dc.h_buf, dc.xyz_buf, logits_dev, h_d, xyz_d = fn(
             dc.h_buf, dc.xyz_buf, self._prev_h, self._prev_xyz,
-            upd_src_d, upd_dst_d, slot_idx_d, np.int32(self._seed),
-            pts_d, boxes_d)
+            upd_src_d, upd_dst_d, slot_idx_d, pair_t_d, pair_d_d,
+            np.int32(self._seed), pts_d, boxes_d)
         self._prev_h, self._prev_xyz, self._prev_d_pad = h_d, xyz_d, d_pad
-        logits = None
-        if T:
-            logits = np.asarray(logits_dev, np.float64)[:T, :D]
+        logits = np.full((T, D), -np.inf, np.float64)
+        if P:
+            logits[pairs[:, 0], pairs[:, 1]] = np.asarray(
+                logits_dev, np.float64)[:P]
         return logits, h_d, xyz_d
 
     def _next_rng(self):
@@ -249,17 +324,33 @@ class TrackingManager:
                   and hasattr(self.scorer, "make_cached_frame_fn")
                   and not getattr(self.scorer, "image_mode", False))
         if use_dc:
+            # gate BEFORE dispatch when sparse scoring applies: the class +
+            # BEV masks are pure host math on boxes, so the gate-surviving
+            # pair list is known before any device work this frame
+            pairs = gate = None
+            if (active and self._dc.h_buf is not None
+                    and self._sparse_on(len(active), d_pad)):
+                pred_boxes = np.stack([t.predict(self.timestep)
+                                       for t in active])
+                gate = center_distance_gate(pred_boxes, det_boxes,
+                                            self.max_distance)
+                ok = (np.array([t.cls for t in active])[:, None]
+                      == det_labels[None, :])
+                pairs = np.argwhere(gate & ok).astype(np.int32)
+                if 4 * len(pairs) > _round_up(len(active)) * d_pad:
+                    pairs = None        # dense gate: the grid kernel wins
             logits, h_d, xyz_d = self._step_device_cached(pts, boxes_p, D,
-                                                          active)
+                                                          active, pairs=pairs)
             if active and logits is not None:
                 ok = (np.array([t.cls for t in active])[:, None]
                       == det_labels[None, :])
                 logits[~ok] = -np.inf
                 cost = 1.0 - 1.0 / (1.0 + np.exp(-logits))
-                pred_boxes = np.stack([t.predict(self.timestep)
-                                       for t in active])
-                gate = center_distance_gate(pred_boxes, det_boxes,
-                                            self.max_distance)
+                if gate is None:
+                    pred_boxes = np.stack([t.predict(self.timestep)
+                                           for t in active])
+                    gate = center_distance_gate(pred_boxes, det_boxes,
+                                                self.max_distance)
                 matches, unmatched_t, unmatched_d = associate(
                     cost, threshold=self.match_threshold, method=self.method,
                     gate=gate)

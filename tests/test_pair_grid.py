@@ -104,6 +104,54 @@ def test_pallas_grid_matches_xla(experiment):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.quick
+def test_pallas_pair_list_matches_grid():
+    """Gated sparse scorer (fused_match_pairs in pair_mode, interpret on CPU)
+    must reproduce the full grid's logits at the listed (track, det) indices
+    — the sparse path is the grid restricted to the gate survivors, so any
+    drift here would silently change associations."""
+    from point_cloud_reid_tpu.ops.pallas.match_grid import (
+        pallas_grid_logits, pallas_pair_logits)
+    model, variables = _make()
+    nt, nd, n = 4, 8, 16
+    tracks = jax.random.normal(jax.random.PRNGKey(20), (nt, n, 3))
+    dets = jax.random.normal(jax.random.PRNGKey(21), (nd, n, 3))
+    x_t, h_t = _embed(model, variables, tracks)
+    x_d, h_d = _embed(model, variables, dets)
+    grid = pallas_grid_logits(model, variables, h_t, x_t, h_d, x_d,
+                              det_block=4, interpret=True)
+    rng = np.random.RandomState(0)
+    t_idx = jnp.asarray(rng.randint(0, nt, size=8), jnp.int32)
+    d_idx = jnp.asarray(rng.randint(0, nd, size=8), jnp.int32)
+    pairs = pallas_pair_logits(model, variables, h_t, x_t, h_d, x_d,
+                               t_idx, d_idx, pair_block=4, interpret=True)
+    want = np.asarray(grid)[np.asarray(t_idx), np.asarray(d_idx)]
+    np.testing.assert_allclose(np.asarray(pairs), want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.quick
+def test_xla_pair_list_matches_match_logits():
+    """XLA sparse fallback == gathering the pair batch through the model's
+    aligned-pair forward (bitwise: it IS that forward, via one-hot gathers)."""
+    from point_cloud_reid_tpu.ops.pallas.match_grid import xla_pair_logits
+    model, variables = _make()
+    nt, nd, n = 5, 6, 16
+    tracks = jax.random.normal(jax.random.PRNGKey(22), (nt, n, 3))
+    dets = jax.random.normal(jax.random.PRNGKey(23), (nd, n, 3))
+    x_t, h_t = _embed(model, variables, tracks)
+    x_d, h_d = _embed(model, variables, dets)
+    rng = np.random.RandomState(1)
+    t_idx = jnp.asarray(rng.randint(0, nt, size=8), jnp.int32)
+    d_idx = jnp.asarray(rng.randint(0, nd, size=8), jnp.int32)
+    sparse = xla_pair_logits(model, variables, h_t, x_t, h_d, x_d,
+                             t_idx, d_idx)
+    want, _ = model.apply(variables, h_t[t_idx], x_t[t_idx],
+                          h_d[d_idx], x_d[d_idx], train=False,
+                          method="match_logits")
+    np.testing.assert_allclose(np.asarray(sparse), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_grid_track_chunking_matches_unchunked(monkeypatch):
     """Grids past _MAX_PAIRS_PER_CALL run the kernel + match head per track
     slice (the 512-track Waymo-dense tracker frame overflowed XLA's 24 MB

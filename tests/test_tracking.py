@@ -480,3 +480,62 @@ def test_device_cache_matches_host_cache_tracking():
         return ids_per_frame
 
     assert run(device_cache=True) == run(device_cache=False)
+
+
+@pytest.mark.quick
+def test_sparse_scoring_matches_dense_tracking():
+    """Gated sparse pair-list scoring must reproduce the dense-grid tracker's
+    assignments exactly: associate() already masks every ungated cell, so
+    scoring only the gate survivors is a pure compute-avoidance rewrite.
+
+    Uses the same unambiguous far-apart scene as the device-cache parity
+    test; sparse_scoring='always' drives every scored frame through
+    make_cached_pair_frame_fn (XLA fallback on CPU), 'never' keeps the
+    full-grid path. Both run the device cache with the same seed, so the
+    crop-subsample RNG streams are identical."""
+    from point_cloud_reid_tpu.inference import PairScorer
+    from point_cloud_reid_tpu.models import build_model
+    import numpy as np
+
+    mcfg = dict(
+        type="ReIDNet",
+        backbone=dict(type="Pointnet_Backbone", input_channels=0, use_xyz=True,
+                      conv_out=8, mul=1, nsample=[4, 4, 4]),
+        match_head=[dict(type="LinearRes", n_in=16, n_out=16, norm="GN", ng=8),
+                    dict(type="Linear", out_features=1)],
+        cross_stage1=dict(type="corss_attention", d_model=8, nhead=2),
+        cross_stage2=dict(type="corss_attention", d_model=8, nhead=2),
+        match_type="xcorr_eff", pool_type="both", combine="point-cat",
+        backbone_list=[8, 4, 2], output_sequence_size=8, hidden_size=16,
+    )
+    model = build_model(mcfg)
+    N = 16
+    batch = dict(sparse_1=jnp.zeros((2, N, 3)), sparse_2=jnp.zeros((2, N, 3)),
+                 id_1=jnp.zeros((2,), jnp.int32), id_2=jnp.zeros((2,), jnp.int32))
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    def run(sparse):
+        scorer = PairScorer(model, variables)
+        mgr = TrackingManager(scorer, subsample_number=N, match_threshold=1.0,
+                              max_distance=5.0, seed=3, device_cache=True,
+                              sparse_scoring=sparse)
+        rng = np.random.RandomState(11)
+        ids_per_frame = []
+        for t in range(5):
+            centers = [np.array([0.4 * t, 0, 0]), np.array([30.0, 1.0, 0]),
+                       np.array([-25.0 + 0.3 * t, -3.0, 0])]
+            boxes = np.stack([np.array([*c, 2, 2, 2, 0.0]) for c in centers]
+                             ).astype(np.float32)
+            pts = np.concatenate([c + rng.randn(40, 3) * 0.3
+                                  for c in centers]).astype(np.float32)
+            tracks = mgr.step(pts, boxes, np.ones(3, np.float32),
+                              np.zeros(3, np.float32))
+            ids_per_frame.append(sorted(tr.track_id for tr in tracks))
+        # 'always' must actually have exercised the sparse path
+        if sparse == "always":
+            assert mgr._cached_pair_frame_fns, "sparse path never dispatched"
+        else:
+            assert not mgr._cached_pair_frame_fns
+        return ids_per_frame
+
+    assert run("always") == run("never")

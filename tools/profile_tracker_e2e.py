@@ -16,7 +16,10 @@ device+host is the deployment-bound frame time.
 Reference claim being sized: "thousands of pairwise comparisons in
 real-time (10 Hz)" (README abstract; tracking_point_reid.py:49-118).
 
-Usage: python tools/profile_tracker_e2e.py [N_OBJ=256]
+Usage: python tools/profile_tracker_e2e.py [N_OBJ=256] [--dense|--sparse]
+    --dense forces sparse_scoring='never' (the full-grid kernel) and
+    --sparse forces 'always' (gated pair list at any density), for A/B
+    against the default 'auto' policy.
 """
 from __future__ import annotations
 
@@ -44,7 +47,8 @@ def main():
     from point_cloud_reid_tpu.tracking.association import (
         associate, center_distance_gate)
 
-    n_obj = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_obj = int(pos[0]) if pos else 256
     pts_per_obj = 600
 
     cfg = get_experiment("pts_point-transformer_point-cat_nus_det_4x256_500e")
@@ -56,12 +60,16 @@ def main():
                  id_2=jnp.zeros((2,), jnp.int32))
     variables = model.init(jax.random.PRNGKey(1), batch, train=False)
 
+    sparse = ("never" if "--dense" in sys.argv
+              else "always" if "--sparse" in sys.argv else "auto")
     scorer = PairScorer(model, variables)
-    mgr = TrackingManager(scorer, subsample_number=128)
+    mgr = TrackingManager(scorer, subsample_number=128,
+                          sparse_scoring=sparse)
 
     # --- replay the bench e2e loop, capturing the last frame's program args
     captured = {}
     orig_fn = mgr._cached_frame_fn
+    orig_pair_fn = mgr._cached_pair_frame_fn
 
     def capturing_fn(t_pad, d_pad, d_prev_pad):
         fn = orig_fn(t_pad, d_pad, d_prev_pad)
@@ -73,7 +81,18 @@ def main():
             return fn(*args)
         return wrapped
 
+    def capturing_pair_fn(t_pad, d_pad, d_prev_pad, p_pad):
+        fn = orig_pair_fn(t_pad, d_pad, d_prev_pad, p_pad)
+
+        def wrapped(*args):
+            captured["key"] = (t_pad, d_pad, d_prev_pad, p_pad)
+            captured["args"] = args
+            captured["jitted"] = fn.jitted
+            return fn(*args)
+        return wrapped
+
     mgr._cached_frame_fn = capturing_fn
+    mgr._cached_pair_frame_fn = capturing_pair_fn
 
     rs = np.random.RandomState(0)
     centers = (rs.rand(n_obj, 3) * 40 - 20).astype(np.float32)
@@ -94,12 +113,14 @@ def main():
     e2e_ms = float(np.median(times[3:]) * 1e3)
     print(json.dumps(dict(
         name="e2e_tunnel", n_obj=n_obj, ms=round(e2e_ms, 1),
-        live_tracks_per_frame=live,
-        buckets=sorted(mgr._cached_frame_fns.keys()))), flush=True)
+        sparse_scoring=sparse, live_tracks_per_frame=live,
+        buckets=sorted(mgr._cached_frame_fns.keys()),
+        pair_buckets=sorted(mgr._cached_pair_frame_fns.keys()))), flush=True)
 
     # --- device program at the steady-state bucket, honest sync
-    t_pad, d_pad, d_prev_pad = captured["key"]
-    dev_s, _ = bench(f"cached_frame_dev t{t_pad}xd{d_pad}",
+    key = captured["key"]
+    t_pad, d_pad, d_prev_pad = key[:3]
+    dev_s, _ = bench(f"cached_frame_dev {'x'.join(map(str, key))}",
                      captured["jitted"], (variables,) + captured["args"],
                      jit=False, sync=lambda out: out[2])
 
@@ -126,7 +147,7 @@ def main():
     assoc_ms = (time.perf_counter() - t0) / reps * 1e3
 
     up_mb = (n_pad * 3 * 4 + d_pad * 7 * 4 + (t_pad + 2 * d_prev_pad) * 4) / 1e6
-    down_mb = t_pad * d_pad * 4 / 1e6
+    down_mb = (key[3] * 4 if len(key) == 4 else t_pad * d_pad * 4) / 1e6
     host_ms = pad_ms + assoc_ms
     residual = e2e_ms - dev_s * 1e3 - host_ms
     print(json.dumps(dict(
