@@ -26,18 +26,30 @@ def center_distance_gate(track_boxes: np.ndarray, det_boxes: np.ndarray,
 def greedy_assignment(cost: np.ndarray, threshold: float
                       ) -> List[Tuple[int, int]]:
     """Repeatedly match the globally cheapest (track, det) pair under the
-    threshold (TrackingAssociatorMax greedy semantics)."""
+    threshold (TrackingAssociatorMax greedy semantics).
+
+    Implemented as ONE stable sort of the admissible candidates + a
+    used-row/col sweep instead of a full-matrix argmin per match: the
+    argmin loop re-scans T*D cells for every accepted pair, which measured
+    14.9 ms/frame at the Waymo-dense tracker density (~360x256, about a
+    third of the device-bound frame). Equivalent by induction: the sweep
+    visits candidates in (value, flat-index) order — exactly argmin's
+    first-minimum tie order — and skipping a candidate whose row/col is
+    already used is the loop's post-match row/col invalidation."""
     matches = []
     if cost.size == 0:
         return matches
-    c = cost.copy()
-    while True:
-        t, d = np.unravel_index(np.argmin(c), c.shape)
-        if not np.isfinite(c[t, d]) or c[t, d] > threshold:
-            break
-        matches.append((int(t), int(d)))
-        c[t, :] = np.inf
-        c[:, d] = np.inf
+    T, D = cost.shape
+    flat = cost.ravel()
+    admissible = np.flatnonzero(np.isfinite(flat) & (flat <= threshold))
+    order = admissible[np.argsort(flat[admissible], kind="stable")]
+    used_t = np.zeros(T, bool)
+    used_d = np.zeros(D, bool)
+    for f in order:
+        t, d = divmod(int(f), D)
+        if not (used_t[t] or used_d[d]):
+            used_t[t] = used_d[d] = True
+            matches.append((t, d))
     return matches
 
 

@@ -53,6 +53,34 @@ def test_associate(method):
     assert ut == [2] and ud == [2]
 
 
+@pytest.mark.quick
+def test_greedy_sorted_sweep_matches_argmin_loop():
+    """The O(P log P) sorted-sweep greedy must reproduce the full-matrix
+    argmin loop exactly, including first-flat-index tie order (values are
+    quantized to force many ties)."""
+    from point_cloud_reid_tpu.tracking.association import greedy_assignment
+
+    def argmin_loop(cost, threshold):
+        matches = []
+        c = cost.copy()
+        while True:
+            t, d = np.unravel_index(np.argmin(c), c.shape)
+            if not np.isfinite(c[t, d]) or c[t, d] > threshold:
+                break
+            matches.append((int(t), int(d)))
+            c[t, :] = np.inf
+            c[:, d] = np.inf
+        return matches
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        T, D = rng.randint(1, 40, size=2)
+        cost = np.round(rng.rand(T, D), 1)          # 1 decimal -> heavy ties
+        cost[rng.rand(T, D) < 0.3] = np.inf         # gated-out cells
+        assert (greedy_assignment(cost, 0.7)
+                == argmin_loop(cost, 0.7)), (trial, T, D)
+
+
 def test_associate_gate():
     cost = np.array([[0.1, 0.2]])
     gate = np.array([[False, True]])
