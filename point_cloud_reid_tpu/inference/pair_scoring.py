@@ -541,16 +541,28 @@ class PairScorer:
     # ---- gated sparse scoring (pair lists) -----------------------------------
 
     def _pair_backend(self, p_pad: int) -> str:
-        """Sparse pair-list dispatch: the fused pallas pair kernel single-chip
-        (pair blocks are 16 rows), the XLA match_logits gather path otherwise
-        (non-divisible P, incompatible heads, or a mesh — the pair batch is
-        tiny and flat there, XLA shards it like any training batch)."""
-        if self._use_pallas and self.mesh is None and p_pad % 16 == 0:
+        """Sparse pair-list dispatch: the fused pallas pair kernel — sharded
+        over the mesh's pair axis when every shard gets whole 16-row pair
+        blocks, single-chip otherwise — else the XLA match_logits gather
+        path (non-divisible P or incompatible heads; the pair batch is flat
+        there, so XLA shards it like any training batch)."""
+        if not self._use_pallas:
+            return "xla"
+        if self.mesh is not None:
+            if p_pad % (self.mesh.size * 16) == 0:
+                return "pallas-sharded"
+            return "xla"
+        if p_pad % 16 == 0:
             return "pallas"
         return "xla"
 
     def _pair_logits(self, variables, h_t, xyz_t, h_d, xyz_d,
                      t_idx, d_idx, backend: str):
+        if backend == "pallas-sharded":
+            from ..ops.pallas.match_grid import sharded_pair_logits
+            return sharded_pair_logits(self.model, variables, h_t, xyz_t,
+                                       h_d, xyz_d, t_idx, d_idx, self.mesh,
+                                       interpret=self._interpret)
         if backend == "pallas":
             from ..ops.pallas.match_grid import pallas_pair_logits
             return pallas_pair_logits(self.model, variables, h_t, xyz_t,

@@ -468,6 +468,36 @@ def pallas_pair_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
         method=lambda m, x: m._match_head(x, train=False))[..., 0]
 
 
+def sharded_pair_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
+                        t_idx, d_idx, mesh, pair_block: int = 16,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Multi-chip gated sparse scoring: the pair LIST sharded over every
+    mesh axis — each device recomputes the (tiny, O(T+D)) per-object
+    factors, gathers its own pair shard, and runs the fused pair kernel.
+    Zero collectives in the forward (pairs are independent), the same
+    scale-out structure as sharded_grid_logits.
+
+    Requires P % (mesh.size * pair_block) == 0 (each shard needs whole
+    pair blocks); callers bucket-pad the pair list accordingly."""
+    from jax.sharding import PartitionSpec as P
+    shard_map, no_check_kw = _shard_map_nocheck()
+
+    n_dev = mesh.size
+    assert t_idx.shape[0] % (n_dev * pair_block) == 0, \
+        (t_idx.shape[0], n_dev, pair_block)
+    axes = tuple(mesh.axis_names)
+
+    def local(h_t, xyz_t, h_d, xyz_d, t_loc, d_loc):
+        return pallas_pair_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
+                                  t_loc, d_loc, pair_block=pair_block,
+                                  interpret=interpret)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(), P(axes), P(axes)),
+                   out_specs=P(axes), **no_check_kw)
+    return fn(h_t, xyz_t, h_d, xyz_d, t_idx, d_idx)
+
+
 def xla_pair_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
                     t_idx, d_idx) -> jnp.ndarray:
     """XLA fallback for the gated sparse scorer: gather the pair batch and

@@ -271,6 +271,35 @@ def test_sharded_pallas_grid_matches_xla():
                                 rtol=2e-4, atol=2e-5)
 
 
+def test_sharded_pair_list_matches_grid():
+    """shard_map'd gated sparse scorer (pair list sharded over the 8-device
+    CPU mesh, interpret mode) == the full grid at the listed indices."""
+    import numpy as _np
+    from jax.sharding import Mesh
+    from point_cloud_reid_tpu.ops.pallas.match_grid import (
+        pallas_grid_logits, sharded_pair_logits)
+    if jax.device_count() < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    model, variables = _make()
+    nt, nd, n = 4, 8, 16
+    tracks = jax.random.normal(jax.random.PRNGKey(24), (nt, n, 3))
+    dets = jax.random.normal(jax.random.PRNGKey(25), (nd, n, 3))
+    x_t, h_t = _embed(model, variables, tracks)
+    x_d, h_d = _embed(model, variables, dets)
+    grid = pallas_grid_logits(model, variables, h_t, x_t, h_d, x_d,
+                              det_block=4, interpret=True)
+    rng = _np.random.RandomState(3)
+    P = 32                                   # 4 pairs/device, one block each
+    t_idx = jnp.asarray(rng.randint(0, nt, size=P), jnp.int32)
+    d_idx = jnp.asarray(rng.randint(0, nd, size=P), jnp.int32)
+    mesh = Mesh(_np.array(jax.devices()[:8]).reshape(4, 2), ("data", "pairs"))
+    out = sharded_pair_logits(model, variables, h_t, x_t, h_d, x_d,
+                              t_idx, d_idx, mesh, pair_block=4,
+                              interpret=True)
+    want = _np.asarray(grid)[_np.asarray(t_idx), _np.asarray(d_idx)]
+    _np.testing.assert_allclose(_np.asarray(out), want, rtol=2e-4, atol=2e-5)
+
+
 def test_sharded_grid_non_divisor_det_block():
     """det_block is rounded down to a divisor of the per-device det count:
     nd=192 on 8 devices -> 24 local dets; a requested block of 16 must not
