@@ -54,6 +54,51 @@ def test_associate(method):
 
 
 @pytest.mark.quick
+def test_crop_two_level_rank_matches_flat_searchsorted():
+    """The sqrt-decomposed rank lookup in extract_box_crops must select the
+    exact same sweep indices as a flat inclusive-cumsum + searchsorted-left
+    (the r3 formulation): same rng -> same ranks -> bit-identical crops."""
+    from point_cloud_reid_tpu.ops import points_in_rboxes
+    from point_cloud_reid_tpu.tracking.crops import extract_box_crops
+
+    rs = np.random.RandomState(5)
+    N, M, S = 4096, 12, 16          # N % 512 == 0: the production block size
+    pts = jnp.asarray(rs.rand(N, 3).astype(np.float32) * 20 - 10)
+    boxes = np.concatenate(
+        [rs.rand(M, 3).astype(np.float32) * 16 - 8,
+         rs.uniform(0.5, 4.0, (M, 3)).astype(np.float32),
+         rs.uniform(-3, 3, (M, 1)).astype(np.float32)], axis=1)
+    boxes[-1, :3] = 100.0           # one empty box (soft-failure path)
+    boxes = jnp.asarray(boxes)
+    rng = jax.random.PRNGKey(9)
+    crops, counts = extract_box_crops(rng, pts, boxes, S)
+    assert int(counts[-1]) == 0 and np.all(np.asarray(crops[-1]) == 0)
+
+    # flat reference: identical rank draws, flat searchsorted
+    boxes_zb = boxes.at[:, 2].add(-boxes[:, 5] * 0.5)
+    inside = np.asarray(points_in_rboxes(pts, boxes_zb))
+    cnts = inside.sum(axis=0).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(counts), cnts)
+    rank = np.cumsum(inside.T.astype(np.int64), axis=1)
+    u = np.asarray(jax.random.uniform(rng, (M, S)))
+    r = np.minimum(np.floor(u * cnts[:, None]).astype(np.int64),
+                   np.maximum(cnts[:, None] - 1, 0))
+    idx = np.minimum(
+        np.stack([np.searchsorted(rank[m], r[m] + 1, side="left")
+                  for m in range(M)]), N - 1)
+    pts_np = np.asarray(pts)
+    raw = pts_np[idx]
+    rel = raw - np.asarray(boxes)[:, None, :3]
+    yaw = -np.asarray(boxes)[:, 6]
+    c, s = np.cos(yaw), np.sin(yaw)
+    want = np.stack([rel[..., 0] * c[:, None] - rel[..., 1] * s[:, None],
+                     rel[..., 0] * s[:, None] + rel[..., 1] * c[:, None],
+                     rel[..., 2]], axis=-1)
+    want[cnts == 0] = 0.0
+    np.testing.assert_allclose(np.asarray(crops), want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.quick
 def test_greedy_sorted_sweep_matches_argmin_loop():
     """The O(P log P) sorted-sweep greedy must reproduce the full-matrix
     argmin loop exactly, including first-flat-index tie order (values are
