@@ -612,3 +612,59 @@ def test_sparse_scoring_matches_dense_tracking():
         return ids_per_frame
 
     assert run("always") == run("never")
+
+
+@pytest.mark.quick
+def test_sparse_scoring_zero_candidates_frame():
+    """A frame whose gate admits NO pairs must still embed the detections
+    and update the device cache through the sparse program (padded dummy
+    pairs score garbage that is discarded): every track misses, every det
+    births a new track, and tracking continues correctly afterwards."""
+    from point_cloud_reid_tpu.inference import PairScorer
+    from point_cloud_reid_tpu.models import build_model
+    import numpy as np
+
+    mcfg = dict(
+        type="ReIDNet",
+        backbone=dict(type="Pointnet_Backbone", input_channels=0, use_xyz=True,
+                      conv_out=8, mul=1, nsample=[4, 4, 4]),
+        match_head=[dict(type="LinearRes", n_in=16, n_out=16, norm="GN", ng=8),
+                    dict(type="Linear", out_features=1)],
+        cross_stage1=dict(type="corss_attention", d_model=8, nhead=2),
+        cross_stage2=dict(type="corss_attention", d_model=8, nhead=2),
+        match_type="xcorr_eff", pool_type="both", combine="point-cat",
+        backbone_list=[8, 4, 2], output_sequence_size=8, hidden_size=16,
+    )
+    model = build_model(mcfg)
+    N = 16
+    batch = dict(sparse_1=jnp.zeros((2, N, 3)), sparse_2=jnp.zeros((2, N, 3)),
+                 id_1=jnp.zeros((2,), jnp.int32), id_2=jnp.zeros((2,), jnp.int32))
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    scorer = PairScorer(model, variables)
+    mgr = TrackingManager(scorer, subsample_number=N, match_threshold=1.0,
+                          max_distance=2.0, device_cache=True,
+                          sparse_scoring="always")
+    rng = np.random.RandomState(4)
+
+    def frame(centers):
+        boxes = np.stack([np.array([*c, 2, 2, 2, 0.0]) for c in centers]
+                         ).astype(np.float32)
+        pts = np.concatenate([c + rng.randn(30, 3) * 0.3 for c in centers]
+                             ).astype(np.float32)
+        return pts, boxes
+
+    c0 = [np.array([0.0, 0, 0]), np.array([20.0, 0, 0])]
+    pts, boxes = frame(c0)
+    mgr.step(pts, boxes, np.ones(2, np.float32), np.zeros(2, np.float32))
+    # frame 2: detections 10 m from every track -> zero gate survivors
+    c1 = [np.array([10.0, 0, 0]), np.array([30.0, 0, 0])]
+    pts, boxes = frame(c1)
+    tracks = mgr.step(pts, boxes, np.ones(2, np.float32),
+                      np.zeros(2, np.float32))
+    assert len(mgr.store.tracks) == 4          # 2 missed + 2 newborn
+    assert mgr._cached_pair_frame_fns          # sparse program dispatched
+    # frame 3: dets back on the frame-2 positions -> normal association
+    pts, boxes = frame(c1)
+    tracks = mgr.step(pts, boxes, np.ones(2, np.float32),
+                      np.zeros(2, np.float32))
+    assert len(tracks) >= 2
