@@ -41,7 +41,10 @@ def main():
     M = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     S = int(sys.argv[3]) if len(sys.argv) > 3 else 128
     N = SWEEP
-    B = 512 if N % 512 == 0 else 1
+    # production's block-size fallback ladder (tracking/crops.py): a bare
+    # 512-or-1 fallback would time a degenerate (M, N, 1) block layout at
+    # non-512-divisible sweeps that production never runs
+    B = next(b for b in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1) if N % b == 0)
     nb = N // B
 
     rs = np.random.RandomState(0)
@@ -56,18 +59,18 @@ def main():
 
     def member_fn(pts, boxes_zb):
         return points_in_rboxes(pts[:, :3], boxes_zb)
+    # bench() returns the stage output — reuse it instead of re-jitting each
+    # stage (every fresh compile costs a multi-second tunnel round trip)
     dt, inside = bench("membership", member_fn, (pts, boxes_zb))
     res["membership_ms"] = round(dt * 1e3, 2)
-    inside = jax.jit(member_fn)(pts, boxes_zb)
 
     def counts_fn(inside):
         blk = inside.T.reshape(M, nb, B)
         bcum = jnp.cumsum(jnp.sum(blk, axis=2, dtype=jnp.int32), axis=1)
         return blk, bcum, bcum[:, -1]
-    dt, _ = bench("blockcounts", counts_fn, (inside,),
-                  sync=lambda out: out[2])
+    dt, (blk, bcum, counts) = bench("blockcounts", counts_fn, (inside,),
+                                    sync=lambda out: out[2])
     res["blockcounts_ms"] = round(dt * 1e3, 2)
-    blk, bcum, counts = jax.jit(counts_fn)(inside)
 
     u = jax.random.uniform(jax.random.PRNGKey(7), (M, S))
     r = jnp.floor(u * counts[:, None]).astype(jnp.int32)
@@ -78,9 +81,8 @@ def main():
         b = jax.vmap(lambda row, q: jnp.searchsorted(row, q, side="left"))(
             bcum, t)
         return jnp.minimum(b, nb - 1)
-    dt, _ = bench("blockpick", pick_fn, (bcum, t))
+    dt, b = bench("blockpick", pick_fn, (bcum, t))
     res["blockpick_ms"] = round(dt * 1e3, 2)
-    b = jax.jit(pick_fn)(bcum, t)
 
     def within_fn(blk, bcum, b, t):
         prev = jnp.where(
@@ -90,9 +92,8 @@ def main():
         lcum = jnp.cumsum(loc.astype(jnp.int32), axis=2)
         p = jnp.sum(lcum < (t - prev)[:, :, None], axis=2)
         return jnp.minimum(b * B + p, N - 1)
-    dt, _ = bench("withinblock", within_fn, (blk, bcum, b, t))
+    dt, idx = bench("withinblock", within_fn, (blk, bcum, b, t))
     res["withinblock_ms"] = round(dt * 1e3, 2)
-    idx = jax.jit(within_fn)(blk, bcum, b, t)
 
     def gather_fn(pts, boxes, idx, counts):
         raw = pts[:, :3][idx]
