@@ -31,6 +31,7 @@ match_forward_inference on the class-wise cartesian product, scattered into an
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -98,21 +99,41 @@ class DeviceTrackCache:
         self._prev = None
         self._pending: list = []
 
-    def ensure(self, n: int, c: int, dtype):
+    def ensure(self, n: int, c: int, dtype, with_xyz: bool = True):
         if self.h_buf is None:
             self.h_buf = jnp.zeros((self.capacity + 1, n, c), dtype)
-            self.xyz_buf = jnp.zeros((self.capacity + 1, n, 3), jnp.float32)
+            if with_xyz:
+                self.xyz_buf = jnp.zeros((self.capacity + 1, n, 3),
+                                         jnp.float32)
 
     def slot(self, track_id: int) -> int:
         return self._slots[int(track_id)]
 
+    def grow(self):
+        """Double the capacity in place: live slots keep their indices, the
+        scratch row moves to the new last index, the fresh rows join the
+        free list. The device copy is one concat per buffer; callers' jitted
+        frame programs retrace automatically on the new buffer shape (one
+        extra compile per bucket) — the manager's fn caches stay valid
+        because capacity is a runtime buffer shape there, not a baked
+        constant. Denser-than-expected scenes degrade to a recompile
+        instead of a RuntimeError mid-scene."""
+        old = self.capacity
+        self.capacity = old * 2
+        self._free.extend(range(old, self.capacity))
+
+        def widen(buf):
+            if buf is None:
+                return None
+            pad = jnp.zeros((old + 1,) + buf.shape[1:], buf.dtype)
+            # rows [0, old) keep; [old, 2*old) new free; row 2*old = scratch
+            return jnp.concatenate([buf[:old], pad], axis=0)
+        self.h_buf = widen(self.h_buf)
+        self.xyz_buf = widen(self.xyz_buf)
+
     def assign(self, track_id: int) -> int:
         if not self._free:
-            raise RuntimeError(
-                f"DeviceTrackCache is full: {len(self._slots)} live tracks "
-                f"at cache_capacity={self.capacity}. Construct the cache "
-                f"with a larger capacity (scenes can exceed the default), "
-                f"or drop() dead tracks before assigning new ones.")
+            self.grow()
         s = self._free.pop()
         self._slots[int(track_id)] = s
         return s
@@ -617,6 +638,131 @@ class PairScorer:
             return frame(self.variables, h_buf, xyz_buf, prev_h, prev_xyz,
                          upd_src, upd_dst, slot_idx, pair_t, pair_d, seed,
                          pts, boxes)
+
+        call.jitted = frame
+        return call
+
+    def _image_pair_logits(self, variables, h_t, h_d, t_idx, d_idx,
+                           backend: str):
+        if backend == "pallas-sharded":
+            from ..ops.pallas.match_grid import sharded_image_pair_logits
+            return sharded_image_pair_logits(self.model, variables, h_t, h_d,
+                                             t_idx, d_idx, self.mesh,
+                                             interpret=self._interpret)
+        if backend == "pallas":
+            from ..ops.pallas.match_grid import pallas_image_pair_logits
+            return pallas_image_pair_logits(self.model, variables, h_t, h_d,
+                                            t_idx, d_idx,
+                                            interpret=self._interpret)
+        from ..ops.pallas.match_grid import xla_image_pair_logits
+        return xla_image_pair_logits(self.model, variables, h_t, h_d,
+                                     t_idx, d_idx)
+
+    def _embed_image_crops(self, variables, crops):
+        """In-frame-program image embedding: ViT tokens + per-token
+        downsample (the two-stage forward_inference path,
+        ReIDNet.py:914-926 / :1232-1237)."""
+        toks = self.model.apply(variables, crops, train=False, method="embed")
+        return self.model.apply(variables, toks, train=False,
+                                method="downsample_tokens")
+
+    @staticmethod
+    def _device_crops(images, l2cams, intrins, boxes, image_size,
+                      output_size):
+        """On-device camera crops inside a frame program. uint8 frames are
+        accepted and converted on device (uploading uint8 quarters the
+        per-frame host->device image bytes — the dominant transfer)."""
+        from ..tracking.image_crops import crops_per_frame
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) * (1.0 / 255.0)
+        crops, _ = crops_per_frame(images, l2cams, intrins, boxes,
+                                   image_size=image_size,
+                                   output_size=output_size)
+        return crops
+
+    def make_cached_image_frame_fn(self, t_pad: int, d_pad: int,
+                                   d_prev_pad: int, capacity: int,
+                                   image_size, output_size):
+        """Image-branch fused frame against a DeviceTrackCache: ONE program
+        does [scatter last frame's det tokens into their track slots] ->
+        [gather this frame's track rows by slot] -> [project boxes into the
+        cameras + bilinear crops + ViT embed + token downsample] -> [full
+        grid score]. Only the logits are fetched; detection token features
+        stay on device as next frame's scatter source — the image analog of
+        make_cached_frame_fn (the host-cache path round-trips ~8 MB of ViT
+        tokens per dense frame, the same PCIe/tunnel tax the point branch
+        eliminated).
+
+        Matches the reference ImageReidentifier workload
+        (tracking_point_reid.py:125-203: get_crops_per_image + cached
+        ImageFeatureSet + pair scoring, pc_utils.py:239-303).
+
+        Returns fn(h_buf, prev_h, upd_src (d_prev_pad,), upd_dst,
+        slot_idx (t_pad,), images (ncam, 3, H, W) [uint8 ok], lidar2cams
+        (ncam, 4, 4), intrinsics (ncam, 3, 3), boxes (d_pad, 7)) ->
+        (new_h_buf, logits (t_pad, d_pad), h_dets)."""
+        assert self.image_mode, "image frame fns are an image-branch path"
+        grid_backend = self._grid_backend(d_pad)
+        image_grid_logits = self._image_grid_logits
+        embed_crops = self._embed_image_crops
+        device_crops = functools.partial(self._device_crops,
+                                         image_size=tuple(image_size),
+                                         output_size=tuple(output_size))
+
+        @jax.jit
+        def frame(variables, h_buf, prev_h, upd_src, upd_dst, slot_idx,
+                  images, l2cams, intrins, boxes):
+            h_buf = h_buf.at[upd_dst].set(prev_h[upd_src])
+            h_t = h_buf[slot_idx]
+            crops = device_crops(images, l2cams, intrins, boxes)
+            h_d = embed_crops(variables, crops)
+            logits = image_grid_logits(variables, h_t, h_d, grid_backend)
+            return h_buf, logits, h_d
+
+        def call(h_buf, prev_h, upd_src, upd_dst, slot_idx, images, l2cams,
+                 intrins, boxes):
+            return frame(self.variables, h_buf, prev_h, upd_src, upd_dst,
+                         slot_idx, images, l2cams, intrins, boxes)
+
+        call.jitted = frame
+        return call
+
+    def make_cached_image_pair_frame_fn(self, t_pad: int, d_pad: int,
+                                        d_prev_pad: int, p_pad: int,
+                                        capacity: int, image_size,
+                                        output_size):
+        """Gated sparse variant of make_cached_image_frame_fn: identical
+        scatter / gather / crop / embed plumbing, but only an explicit pair
+        LIST is scored — (p_pad,) logits out instead of the (t_pad, d_pad)
+        grid. The image analog of make_cached_pair_frame_fn.
+
+        Returns fn(h_buf, prev_h, upd_src, upd_dst, slot_idx (t_pad,),
+        pair_t (p_pad,), pair_d (p_pad,), images, lidar2cams, intrinsics,
+        boxes) -> (new_h_buf, logits (p_pad,), h_dets)."""
+        assert self.image_mode, "image frame fns are an image-branch path"
+        pair_backend = self._pair_backend(p_pad)
+        pair_logits = self._image_pair_logits
+        embed_crops = self._embed_image_crops
+        device_crops = functools.partial(self._device_crops,
+                                         image_size=tuple(image_size),
+                                         output_size=tuple(output_size))
+
+        @jax.jit
+        def frame(variables, h_buf, prev_h, upd_src, upd_dst, slot_idx,
+                  pair_t, pair_d, images, l2cams, intrins, boxes):
+            h_buf = h_buf.at[upd_dst].set(prev_h[upd_src])
+            h_t = h_buf[slot_idx]
+            crops = device_crops(images, l2cams, intrins, boxes)
+            h_d = embed_crops(variables, crops)
+            logits = pair_logits(variables, h_t, h_d, pair_t, pair_d,
+                                 pair_backend)
+            return h_buf, logits, h_d
+
+        def call(h_buf, prev_h, upd_src, upd_dst, slot_idx, pair_t, pair_d,
+                 images, l2cams, intrins, boxes):
+            return frame(self.variables, h_buf, prev_h, upd_src, upd_dst,
+                         slot_idx, pair_t, pair_d, images, l2cams, intrins,
+                         boxes)
 
         call.jitted = frame
         return call

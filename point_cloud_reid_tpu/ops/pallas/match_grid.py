@@ -511,6 +511,77 @@ def xla_pair_logits(model, variables, h_t, xyz_t, h_d, xyz_d,
     return logits
 
 
+def pallas_image_pair_logits(model, variables, h_t, h_d, t_idx, d_idx,
+                             pair_block: int = 16,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Image-branch gated sparse scoring: logits for an explicit
+    (track, det) pair list through the fused pair kernel, minus the pos-MLP
+    terms (CrossLinAttn has none) — the image analog of pallas_pair_logits.
+    Token sequences are zero-padded to a sublane multiple and masked
+    in-kernel (n_true), exactly like pallas_image_grid_logits.
+
+    This is what lets the image tracker's deployment path skip ~99% of a
+    dense frame's grid: the reference's ImageReidentifier also only scores
+    gate survivors (tracking_point_reid.py:200-203)."""
+    params = variables["params"]
+    nhead = dict(model.cross_lin_attn)["nhead"]
+    S = h_t.shape[1]
+    n_pad = -(-S // 8) * 8
+    qt, kvzt, at1 = image_grid_factors(params, h_t, nhead)
+    qd, kvzd, ad1 = image_grid_factors(params, h_d, nhead)
+    w1, w2 = stage_weights(params)
+    ht_p, qt_p, at_p = (_pad_tokens(h_t, n_pad), _pad_tokens(qt, n_pad),
+                        _pad_tokens(at1, n_pad))
+    hd_p, qd_p, ad_p = (_pad_tokens(h_d, n_pad), _pad_tokens(qd, n_pad),
+                        _pad_tokens(ad1, n_pad))
+    ht_g, qt_g, kvzt_g, at_g = (
+        _gather_rows(x, t_idx) for x in (ht_p, qt_p, kvzt, at_p))
+    hd_g, qd_g, kvzd_g, ad_g = (
+        _gather_rows(x, d_idx) for x in (hd_p, qd_p, kvzd, ad_p))
+    pooled = fused_match_pairs(ht_g, qt_g, kvzt_g, at_g, None,
+                               hd_g, qd_g, kvzd_g, ad_g, None,
+                               w1, w2, nhead, pair_block, interpret,
+                               n_true=(S if S != n_pad else 0))
+    return model.apply(
+        variables, pooled,
+        method=lambda m, x: m._match_head(x, train=False))[..., 0]
+
+
+def sharded_image_pair_logits(model, variables, h_t, h_d, t_idx, d_idx,
+                              mesh, pair_block: int = 16,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Multi-chip image gated sparse scoring: pair list sharded over every
+    mesh axis, per-object factors recomputed per device (tiny, O(T+D)),
+    zero collectives — the image analog of sharded_pair_logits. Requires
+    P % (mesh.size * pair_block) == 0."""
+    from jax.sharding import PartitionSpec as P
+    shard_map, no_check_kw = _shard_map_nocheck()
+
+    n_dev = mesh.size
+    assert t_idx.shape[0] % (n_dev * pair_block) == 0, \
+        (t_idx.shape[0], n_dev, pair_block)
+    axes = tuple(mesh.axis_names)
+
+    def local(h_t, h_d, t_loc, d_loc):
+        return pallas_image_pair_logits(model, variables, h_t, h_d,
+                                        t_loc, d_loc, pair_block=pair_block,
+                                        interpret=interpret)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(axes), P(axes)),
+                   out_specs=P(axes), **no_check_kw)
+    return fn(h_t, h_d, t_idx, d_idx)
+
+
+def xla_image_pair_logits(model, variables, h_t, h_d,
+                          t_idx, d_idx) -> jnp.ndarray:
+    """XLA fallback for the image sparse scorer: gather the pair batch and
+    reuse ImageReIDNet.match_logits (works for every image match_type)."""
+    h1, h2 = _gather_rows(h_t, t_idx), _gather_rows(h_d, d_idx)
+    return model.apply(variables, h1, h2, train=False,
+                       method="match_logits")
+
+
 def _shard_map_nocheck():
     """(shard_map, no-check kwargs) across the jax-version rename: the
     experimental module predates check_vma and only accepts check_rep."""

@@ -75,15 +75,17 @@ class TrackingManager:
         # variable counts -> bucketed padding, one compile per bucket)
         self._full_frame_fns = {}
         # device-resident track features (DeviceTrackCache): per frame only
-        # the sweep goes up and the logits come down — the host FeatureCache
+        # the inputs go up and the logits come down — the host FeatureCache
         # round-trips ~8 MB of track/det features per dense frame, which
         # dominates PCIe/tunnel-bound deployments. Auto-on for the fused
-        # point path.
+        # point path AND (round 5) the fused image path: with no crop_fn the
+        # image branch receives raw camera frames in step() and runs
+        # projection + crops + ViT embed + scoring as ONE device program
+        # (the host-cache crop_fn path stays available as the fallback).
         from ..inference.pair_scoring import DeviceTrackCache
+        self._image_mode = bool(getattr(scorer, "image_mode", False))
         self._use_device_cache = (
-            device_cache if device_cache is not None
-            else (crop_fn is None
-                  and not getattr(scorer, "image_mode", False)))
+            device_cache if device_cache is not None else crop_fn is None)
         self._dc = DeviceTrackCache(cache_capacity)
         self._cached_frame_fns = {}
         self._prev_h = None
@@ -102,6 +104,9 @@ class TrackingManager:
         assert sparse_scoring in ("auto", "always", "never"), sparse_scoring
         self.sparse_scoring = sparse_scoring
         self._cached_pair_frame_fns = {}
+        # image fused path: camera geometry is static per deployment; sizes
+        # are discovered from the first frame's image shapes
+        self._image_sizes = None
 
     def _full_frame_fn(self, t_pad: int, d_pad: int):
         """ONE jitted program per (track, det) bucket for the frame's device
@@ -178,6 +183,117 @@ class TrackingManager:
                     self.subsample_number))
         return self._cached_pair_frame_fns[key]
 
+    def _cached_image_frame_fn(self, t_pad: int, d_pad: int,
+                               d_prev_pad: int):
+        key = ("img", t_pad, d_pad, d_prev_pad)
+        if key not in self._cached_frame_fns:
+            self._cached_frame_fns[key] = (
+                self.scorer.make_cached_image_frame_fn(
+                    t_pad, d_pad, d_prev_pad, self._dc.capacity,
+                    *self._image_sizes))
+        return self._cached_frame_fns[key]
+
+    def _cached_image_pair_frame_fn(self, t_pad: int, d_pad: int,
+                                    d_prev_pad: int, p_pad: int):
+        key = ("img", t_pad, d_pad, d_prev_pad, p_pad)
+        if key not in self._cached_pair_frame_fns:
+            self._cached_pair_frame_fns[key] = (
+                self.scorer.make_cached_image_pair_frame_fn(
+                    t_pad, d_pad, d_prev_pad, p_pad, self._dc.capacity,
+                    *self._image_sizes))
+        return self._cached_pair_frame_fns[key]
+
+    def _pad_pairs(self, pairs: np.ndarray):
+        """Bucket-pad a gate-surviving pair list (sticky-bucket hysteresis:
+        P fluctuates frame to frame around bucket edges and every new p_pad
+        is a fresh compile — keep the larger bucket until the pair count
+        drops to a quarter of it). Returns (pair_t, pair_d, p_pad)."""
+        P = len(pairs)
+        p_pad = _round_up(max(P, 1), sizes=(16, 32, 64, 128, 256, 512))
+        last = getattr(self, "_last_p_pad", 0)
+        if p_pad < last <= 4 * max(P, 1):
+            p_pad = last
+        self._last_p_pad = p_pad
+        pair_t = np.zeros((p_pad,), np.int32)   # pad rows score pair (0, 0)
+        pair_d = np.zeros((p_pad,), np.int32)
+        if P:
+            pair_t[:P] = pairs[:, 0]
+            pair_d[:P] = pairs[:, 1]
+        return pair_t, pair_d, p_pad
+
+    def _step_device_cached_image(self, frame, boxes_p: np.ndarray, D: int,
+                                  active,
+                                  pairs: Optional[np.ndarray] = None):
+        """Image-branch device-cache frame: ONE fused program per frame runs
+        box projection + camera crops + ViT embed + grid (or gated sparse
+        pair-list) scoring against the device-resident track tokens; only
+        the logits cross the host boundary (plus the frame images, which are
+        input data either way — uint8 frames upload at a quarter the f32
+        bytes). Mirrors _step_device_cached; there is no xyz plumbing
+        (CrossLinAttn has no positions).
+
+        `frame` is (images (ncam, 3, H, W), lidar2cams (ncam, 4, 4),
+        intrinsics (ncam, 3, 3)) — the ImageReidentifier inputs
+        (tracking_point_reid.py:156-165)."""
+        images, l2cams, intrins = frame
+        images = np.asarray(images)
+        l2cams = np.asarray(l2cams, np.float32)
+        intrins = np.asarray(intrins, np.float32)
+        if self._image_sizes is None:
+            out = int(getattr(self.scorer.model, "image_size", 224))
+            self._image_sizes = (
+                (images.shape[3], images.shape[2]), (out, out))
+        dc = self._dc
+        d_pad = boxes_p.shape[0]
+        if dc.h_buf is None:
+            # bootstrap: embed-only (first frame of the scene)
+            from ..inference.pair_scoring import PairScorer
+            crops = PairScorer._device_crops(
+                jnp.asarray(images), jnp.asarray(l2cams),
+                jnp.asarray(intrins), jnp.asarray(boxes_p),
+                *self._image_sizes)
+            _, h_d = self.scorer.embed(crops)   # device, NOT fetched
+            dc.ensure(h_d.shape[1], h_d.shape[2], h_d.dtype, with_xyz=False)
+            self._prev_h, self._prev_d_pad = h_d, d_pad
+            return None, h_d
+        T = len(active)
+        t_pad = _round_up(max(T, 1))
+        slot_idx = np.full((t_pad,), dc.capacity, np.int32)
+        for i, t in enumerate(active):
+            slot_idx[i] = dc.slot(t.track_id)
+        upd_src, upd_dst = dc.take_updates(self._prev_d_pad)
+        if pairs is None:
+            fn = self._cached_image_frame_fn(t_pad, d_pad, self._prev_d_pad)
+            (upd_src_d, upd_dst_d, slot_idx_d, img_d, l2c_d, K_d,
+             boxes_d) = jax.device_put(
+                (upd_src, upd_dst, slot_idx, images, l2cams, intrins,
+                 boxes_p))
+            dc.h_buf, logits_dev, h_d = fn(
+                dc.h_buf, self._prev_h, upd_src_d, upd_dst_d, slot_idx_d,
+                img_d, l2c_d, K_d, boxes_d)
+            self._prev_h, self._prev_d_pad = h_d, d_pad
+            logits = None
+            if T:
+                logits = np.asarray(logits_dev, np.float64)[:T, :D]
+            return logits, h_d
+        pair_t, pair_d, p_pad = self._pad_pairs(pairs)
+        fn = self._cached_image_pair_frame_fn(t_pad, d_pad,
+                                              self._prev_d_pad, p_pad)
+        (upd_src_d, upd_dst_d, slot_idx_d, pair_t_d, pair_d_d, img_d,
+         l2c_d, K_d, boxes_d) = jax.device_put(
+            (upd_src, upd_dst, slot_idx, pair_t, pair_d, images, l2cams,
+             intrins, boxes_p))
+        dc.h_buf, logits_dev, h_d = fn(
+            dc.h_buf, self._prev_h, upd_src_d, upd_dst_d, slot_idx_d,
+            pair_t_d, pair_d_d, img_d, l2c_d, K_d, boxes_d)
+        self._prev_h, self._prev_d_pad = h_d, d_pad
+        P = len(pairs)
+        logits = np.full((T, D), -np.inf, np.float64)
+        if P:
+            logits[pairs[:, 0], pairs[:, 1]] = np.asarray(
+                logits_dev, np.float64)[:P]
+        return logits, h_d
+
     def _step_device_cached(self, pts: np.ndarray, boxes_p: np.ndarray,
                             D: int, active, pairs: Optional[np.ndarray] = None):
         """Device-cache frame: returns (logits (T, D) np or None, h_d, xyz_d
@@ -221,19 +337,7 @@ class TrackingManager:
                 logits = np.asarray(logits_dev, np.float64)[:T, :D]
             return logits, h_d, xyz_d
         P = len(pairs)
-        p_pad = _round_up(max(P, 1), sizes=(16, 32, 64, 128, 256, 512))
-        # sticky bucket: P fluctuates frame to frame around bucket edges and
-        # every new p_pad is a fresh compile — keep the larger bucket until
-        # the pair count drops to a quarter of it
-        last = getattr(self, "_last_p_pad", 0)
-        if p_pad < last <= 4 * max(P, 1):
-            p_pad = last
-        self._last_p_pad = p_pad
-        pair_t = np.zeros((p_pad,), np.int32)   # pad rows score pair (0, 0)
-        pair_d = np.zeros((p_pad,), np.int32)
-        if P:
-            pair_t[:P] = pairs[:, 0]
-            pair_d[:P] = pairs[:, 1]
+        pair_t, pair_d, p_pad = self._pad_pairs(pairs)
         fn = self._cached_pair_frame_fn(t_pad, d_pad, self._prev_d_pad, p_pad)
         (upd_src_d, upd_dst_d, slot_idx_d, pair_t_d, pair_d_d, pts_d,
          boxes_d) = jax.device_put(
@@ -257,6 +361,21 @@ class TrackingManager:
         """Non-fused detection embedding (crops then embed)."""
         if self.crop_fn is not None:
             crops = self.crop_fn(pts, boxes_p)
+        elif self._image_mode:
+            # device_cache=False image path: camera crops, host-fetched
+            # features (the legacy FeatureCache fallback)
+            from ..inference.pair_scoring import PairScorer
+            images, l2cams, intrins = pts
+            if self._image_sizes is None:
+                out = int(getattr(self.scorer.model, "image_size", 224))
+                self._image_sizes = ((np.asarray(images).shape[3],
+                                      np.asarray(images).shape[2]),
+                                     (out, out))
+            crops = PairScorer._device_crops(
+                jnp.asarray(images), jnp.asarray(np.asarray(l2cams,
+                                                            np.float32)),
+                jnp.asarray(np.asarray(intrins, np.float32)),
+                jnp.asarray(boxes_p), *self._image_sizes)
         else:
             crops, _ = extract_box_crops(
                 self._next_rng(), jnp.asarray(pts), jnp.asarray(boxes_p),
@@ -304,9 +423,10 @@ class TrackingManager:
             self._record_prune()
             return self.store.outputs()
 
+        image_fused = self._image_mode and self.crop_fn is None
         # device: crops + embeddings for all detections at once; sweep and
         # box counts are bucket-padded so programs compile once per bucket
-        if self.crop_fn is None:
+        if self.crop_fn is None and not image_fused:
             n_pad = _round_up(max(len(points), 1),
                               sizes=(2048, 8192, 32768, 131072, 262144,
                                      524288))
@@ -314,15 +434,18 @@ class TrackingManager:
             pts[:] = 1e6                           # padding far from any box
             pts[:len(points)] = np.asarray(points, np.float32)[:, :3]
         else:
-            pts = points                           # opaque frame data
+            # opaque frame data: crop_fn input, or the image-fused path's
+            # (images, lidar2cams, intrinsics) camera frame
+            pts = points
         d_pad = _round_up(D)
         boxes_p = np.full((d_pad, 7), 1e6, np.float32)
         boxes_p[:D] = det_boxes
 
         active = self.store.active()
         use_dc = (self._use_device_cache and self.crop_fn is None
-                  and hasattr(self.scorer, "make_cached_frame_fn")
-                  and not getattr(self.scorer, "image_mode", False))
+                  and (hasattr(self.scorer, "make_cached_image_frame_fn")
+                       if image_fused
+                       else hasattr(self.scorer, "make_cached_frame_fn")))
         if use_dc:
             # gate BEFORE dispatch when sparse scoring applies: the class +
             # BEV masks are pure host math on boxes, so the gate-surviving
@@ -339,8 +462,13 @@ class TrackingManager:
                 pairs = np.argwhere(gate & ok).astype(np.int32)
                 if 4 * len(pairs) > _round_up(len(active)) * d_pad:
                     pairs = None        # dense gate: the grid kernel wins
-            logits, h_d, xyz_d = self._step_device_cached(pts, boxes_p, D,
-                                                          active, pairs=pairs)
+            if image_fused:
+                logits, h_d = self._step_device_cached_image(
+                    pts, boxes_p, D, active, pairs=pairs)
+                xyz_d = None
+            else:
+                logits, h_d, xyz_d = self._step_device_cached(
+                    pts, boxes_p, D, active, pairs=pairs)
             if active and logits is not None:
                 ok = (np.array([t.cls for t in active])[:, None]
                       == det_labels[None, :])

@@ -541,3 +541,65 @@ def test_pairscorer_mesh_sharded_pallas_embed():
                                 rtol=2e-4, atol=2e-5)
     _np.testing.assert_allclose(_np.asarray(x_d), _np.asarray(x_ref),
                                 rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("S", [16, 10])
+def test_pallas_image_pair_list_matches_grid(S):
+    """Image gated sparse scorer (fused_match_pairs, no pos-MLP, in-kernel
+    token-pad masking at S=10) must reproduce the image grid's logits at the
+    listed (track, det) indices — the image tracker's sparse path is the
+    grid restricted to the gate survivors."""
+    from point_cloud_reid_tpu.ops.pallas.match_grid import (
+        pallas_image_grid_logits, pallas_image_pair_logits)
+    model, variables, h_t, h_d = _make_image(S, nt=4, nd=8)
+    grid = pallas_image_grid_logits(model, variables, h_t, h_d,
+                                    det_block=4, interpret=True)
+    rng = np.random.RandomState(5)
+    t_idx = jnp.asarray(rng.randint(0, 4, size=8), jnp.int32)
+    d_idx = jnp.asarray(rng.randint(0, 8, size=8), jnp.int32)
+    pairs = pallas_image_pair_logits(model, variables, h_t, h_d,
+                                     t_idx, d_idx, pair_block=4,
+                                     interpret=True)
+    want = np.asarray(grid)[np.asarray(t_idx), np.asarray(d_idx)]
+    np.testing.assert_allclose(np.asarray(pairs), want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.quick
+def test_xla_image_pair_list_matches_match_logits():
+    """XLA image sparse fallback == gathering the pair batch through
+    ImageReIDNet.match_logits (it IS that forward, via one-hot gathers)."""
+    from point_cloud_reid_tpu.ops.pallas.match_grid import \
+        xla_image_pair_logits
+    model, variables, h_t, h_d = _make_image(S=10, nt=4, nd=8)
+    rng = np.random.RandomState(6)
+    t_idx = jnp.asarray(rng.randint(0, 4, size=8), jnp.int32)
+    d_idx = jnp.asarray(rng.randint(0, 8, size=8), jnp.int32)
+    sparse = xla_image_pair_logits(model, variables, h_t, h_d, t_idx, d_idx)
+    want = model.apply(variables, h_t[t_idx], h_d[d_idx], train=False,
+                       method="match_logits")
+    np.testing.assert_allclose(np.asarray(sparse), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_image_pair_list_matches_grid():
+    """shard_map'd image gated sparse scorer (pair list sharded over the
+    8-device CPU mesh, interpret) == the image grid at the listed indices."""
+    import numpy as _np
+    from jax.sharding import Mesh
+    from point_cloud_reid_tpu.ops.pallas.match_grid import (
+        pallas_image_grid_logits, sharded_image_pair_logits)
+    if jax.device_count() < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    model, variables, h_t, h_d = _make_image(S=10, nt=4, nd=8)
+    grid = pallas_image_grid_logits(model, variables, h_t, h_d,
+                                    det_block=4, interpret=True)
+    rng = _np.random.RandomState(7)
+    P = 32                                   # 4 pairs/device, one block each
+    t_idx = jnp.asarray(rng.randint(0, 4, size=P), jnp.int32)
+    d_idx = jnp.asarray(rng.randint(0, 8, size=P), jnp.int32)
+    mesh = Mesh(_np.array(jax.devices()[:8]).reshape(4, 2), ("data", "pairs"))
+    out = sharded_image_pair_logits(model, variables, h_t, h_d,
+                                    t_idx, d_idx, mesh, pair_block=4,
+                                    interpret=True)
+    want = _np.asarray(grid)[_np.asarray(t_idx), _np.asarray(d_idx)]
+    _np.testing.assert_allclose(_np.asarray(out), want, rtol=2e-4, atol=2e-5)

