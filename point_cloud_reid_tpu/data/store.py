@@ -300,7 +300,13 @@ class SyntheticStore:
                  min_points: int = 5, seed: int = 0,
                  point_range: Tuple[int, int] = (8, 400),
                  crop_size: Tuple[int, int] = (32, 32), with_images: bool = False,
-                 class_names: Optional[Sequence[str]] = None):
+                 class_names: Optional[Sequence[str]] = None,
+                 metadata_only: bool = False):
+        """metadata_only skips generating the per-frame point/crop ARRAYS
+        (num_pts/visibility/distance metadata only) — pair PLANNING is a
+        pure function of the metadata, so planner-scale profiling at
+        nuScenes-ReID index sizes (50-100k objects) doesn't need gigabytes
+        of synthetic points. load_points raises on such a store."""
         rng = np.random.RandomState(seed)
         if class_names is not None:
             num_classes = len(class_names)
@@ -333,15 +339,17 @@ class SyntheticStore:
             n_frames = 1 if is_fp else frames_per_obj
             for f in range(n_frames):
                 n = int(rng.randint(point_range[0], point_range[1]))
-                idx = rng.randint(0, 64, size=n)
-                pts = (base[idx] + rng.randn(n, 3) * 0.05).astype(np.float32)
                 frame = str(f)
-                self._points[(tok, frame)] = pts
+                if not metadata_only:
+                    idx = rng.randint(0, 64, size=n)
+                    pts = (base[idx]
+                           + rng.randn(n, 3) * 0.05).astype(np.float32)
+                    self._points[(tok, frame)] = pts
                 num_pts[frame] = n
                 vis[frame] = int(rng.randint(1, 5))   # nuScenes vis levels 1-4
                 bev = bev + rng.randn(2) * 1.5
                 dist[frame] = float(np.sqrt((bev ** 2).sum()))
-                if with_images:
+                if with_images and not metadata_only:
                     im = rng.randn(3, *self.crop_size).astype(np.float32) * 0.1
                     im += scale[:, None, None]         # per-object signature
                     self._images[(tok, frame)] = im

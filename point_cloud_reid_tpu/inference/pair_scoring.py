@@ -670,11 +670,10 @@ class PairScorer:
     def _device_crops(images, l2cams, intrins, boxes, image_size,
                       output_size):
         """On-device camera crops inside a frame program. uint8 frames are
-        accepted and converted on device (uploading uint8 quarters the
-        per-frame host->device image bytes — the dominant transfer)."""
+        accepted natively (uploading uint8 quarters the per-frame
+        host->device image bytes — the dominant transfer — and
+        crops_per_frame gathers uint8 rows before converting)."""
         from ..tracking.image_crops import crops_per_frame
-        if images.dtype == jnp.uint8:
-            images = images.astype(jnp.float32) * (1.0 / 255.0)
         crops, _ = crops_per_frame(images, l2cams, intrins, boxes,
                                    image_size=image_size,
                                    output_size=output_size)

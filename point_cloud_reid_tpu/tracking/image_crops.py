@@ -107,6 +107,52 @@ def extract_crops(image: jnp.ndarray, box2d: jnp.ndarray,
     return jax.vmap(one)(box2d.astype(jnp.float32))
 
 
+def _crops_from_best(images: jnp.ndarray, best_cam: jnp.ndarray,
+                     best_b2: jnp.ndarray,
+                     output_size: Tuple[int, int]) -> jnp.ndarray:
+    """Fused bilinear crops straight from the (ncam, 3, H, W) source stack.
+
+    The naive formulation gathers the full best-camera image per box first
+    ((M, 3, H, W) — a 1.1 GB HBM round trip at 64 boxes x 6 900x1600
+    cameras; the whole crop stage measured 14.9 ms / 6.9 GB on v5e). This
+    gathers ONLY the <= 2*oh sample rows each box needs, with the camera
+    choice folded into the row gather's leading index, and blends columns
+    on the small row band. uint8 sources are gathered AS uint8 (quarter the
+    gather bytes) and converted on the band; callers apply any value scale.
+    Bilinear math is op-for-op extract_crops (pc_utils.py:149-165
+    grid_sample semantics) — parity pinned by
+    tests/test_image_crops.py::test_crops_per_frame_matches_naive_path.
+    """
+    ncam, ch, H, W = images.shape
+    oh, ow = output_size
+    b2 = best_b2.astype(jnp.float32)
+    x0, y0, x1, y1 = b2[:, 0], b2[:, 1], b2[:, 2], b2[:, 3]
+    xs = x0[:, None] + (x1 - x0)[:, None] * (jnp.arange(ow) + 0.5) / ow
+    ys = y0[:, None] + (y1 - y0)[:, None] * (jnp.arange(oh) + 0.5) / oh
+    xf = jnp.clip(xs - 0.5, 0.0, W - 1.0)                # (M, ow)
+    yf = jnp.clip(ys - 0.5, 0.0, H - 1.0)                # (M, oh)
+    x0i = jnp.floor(xf).astype(jnp.int32)
+    y0i = jnp.floor(yf).astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, W - 1)
+    y1i = jnp.minimum(y0i + 1, H - 1)
+    wx = (xf - x0i)[:, None, None, :]                    # (M, 1, 1, ow)
+    wy = (yf - y0i)                                      # (M, oh)
+    yy = jnp.concatenate([y0i, y1i], axis=1)             # (M, 2*oh)
+    # ONE fused row gather: advanced indices (M,1) x (M,2oh) broadcast and
+    # land in front -> (M, 2oh, ch, W); full-W rows keep the gather slices
+    # big and contiguous (the regime where XLA's TPU gather runs fine)
+    band = images[best_cam[:, None], :, yy, :].astype(jnp.float32)
+
+    def cols(xi):
+        return jnp.take_along_axis(band, xi[:, None, None, :], axis=3)
+
+    horiz = cols(x0i) * (1.0 - wx) + cols(x1i) * wx      # (M, 2oh, ch, ow)
+    top, bot = horiz[:, :oh], horiz[:, oh:]
+    out = (top * (1.0 - wy)[:, :, None, None]
+           + bot * wy[:, :, None, None])                 # (M, oh, ch, ow)
+    return out.transpose(0, 2, 1, 3)                     # (M, ch, oh, ow)
+
+
 @functools.partial(jax.jit, static_argnames=("image_size", "output_size"))
 def crops_per_frame(images: jnp.ndarray, lidar2cams: jnp.ndarray,
                     intrinsics: jnp.ndarray, boxes: jnp.ndarray,
@@ -118,32 +164,30 @@ def crops_per_frame(images: jnp.ndarray, lidar2cams: jnp.ndarray,
     Mirrors get_crops_per_image (pc_utils.py:239-303): a box visible in
     several cameras keeps the largest-area 2D view; invisible boxes return
     zero crops (masked out downstream, matching the reference's
-    missing-crop-as-zeros soft failure).
+    missing-crop-as-zeros soft failure). uint8 image stacks are accepted
+    (gathered as uint8, scaled by 1/255 on the crop — quarter the
+    host->device and gather bytes of pre-converted f32 frames).
 
     Args:
-        images: (C, 3, H, W); lidar2cams: (C, 4, 4); intrinsics: (C, 3, 3).
-        boxes: (M, 7) gravity-centered.
+        images: (C, 3, H, W) float32 or uint8; lidar2cams: (C, 4, 4);
+        intrinsics: (C, 3, 3); boxes: (M, 7) gravity-centered.
     Returns:
-        crops: (M, 3, out_h, out_w); valid: (M,) bool.
+        crops: (M, 3, out_h, out_w) float32; valid: (M,) bool.
     """
-    def per_cam(img, l2c, K):
+    def per_cam(l2c, K):
         uv, vis = project_boxes(boxes, l2c, K, image_size)
         b2 = boxes_2d(uv, image_size)
         area = (b2[:, 2] - b2[:, 0]) * (b2[:, 3] - b2[:, 1])
-        return b2, jnp.where(vis, area, -1.0), img
+        return b2, jnp.where(vis, area, -1.0)
 
-    b2_all, area_all, _ = jax.vmap(per_cam)(images, lidar2cams, intrinsics)
+    b2_all, area_all = jax.vmap(per_cam)(lidar2cams, intrinsics)
     best_cam = jnp.argmax(area_all, axis=0)              # (M,)
     valid = jnp.max(area_all, axis=0) > 0
 
     M = boxes.shape[0]
     best_b2 = b2_all[best_cam, jnp.arange(M)]            # (M, 4)
-
-    # crop each box from its best camera: vmap over boxes with a gathered img
-    def one(m):
-        img = images[best_cam[m]]
-        return extract_crops(img, best_b2[m][None], output_size)[0]
-
-    crops = jax.vmap(one)(jnp.arange(M))
+    crops = _crops_from_best(images, best_cam, best_b2, output_size)
+    if images.dtype == jnp.uint8:
+        crops = crops * (1.0 / 255.0)
     crops = jnp.where(valid[:, None, None, None], crops, 0.0)
     return crops, valid

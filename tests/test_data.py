@@ -417,3 +417,56 @@ def test_store_distance_roundtrip(tmp_path):
     tok = next(iter(store.objects))
     assert disk.objects[tok].distance == store.objects[tok].distance
     assert disk.objects[tok].distance  # non-empty
+
+
+def test_planner_scale_realistic_index():
+    """Host data-frontend scale regression at a realistic index size
+    (VERDICT r4 item 3): real nuScenes-ReID exports carry tens of thousands
+    of tracks (the reference indexes the full export,
+    reidentification_base.py:202-249). Pin the measured-linear bounds from
+    tools/profile_planner_scale.py (80k objects: tables 6.4 s / 58 MB,
+    plan_batch ~160-205k samples/s flat across index sizes, ValEven linear
+    in pairs) with generous CI slack at 20k objects — a super-linear
+    regression in _PlanTables flattening, neg_table construction, or the
+    ValEven combo enumeration blows these bounds immediately."""
+    import time
+
+    from point_cloud_reid_tpu.data import ValEvenPairs
+
+    classes = [f"class_{i}" for i in range(10)]
+    common = dict(classes=classes,
+                  cls_to_idx={c: i for i, c in enumerate(classes)},
+                  tracking_classes={c: c for c in classes},
+                  subsample_sparse=128)
+    store = SyntheticStore(num_objects=20_000, frames_per_obj=8, seed=1,
+                           metadata_only=True)
+
+    t0 = time.perf_counter()
+    ds = PairDataset(store=store, seed=0, **common)
+    tables = ds._tables()
+    build_s = time.perf_counter() - t0
+    assert build_s < 20.0, f"planner build {build_s:.1f}s at 20k objects"
+    table_mb = sum(v.nbytes for v in tables.__dict__.values()
+                   if isinstance(v, np.ndarray)) / 1e6
+    assert table_mb < 60.0, f"tables {table_mb:.0f} MB at 20k objects"
+
+    B = 2048
+    ds.set_epoch(1)
+    ds.plan_batch(np.arange(B))                  # warm
+    t0 = time.perf_counter()
+    for r in range(8):
+        plan = ds.plan_batch(np.arange(r * B, (r + 1) * B))
+    sps = 8 * B / (time.perf_counter() - t0)
+    # measured ~160k sps (index-size independent); 8-chip v5e-8 mesh demand
+    # is ~17.7k — require a wide margin even under CI contention
+    assert sps > 25_000, f"plan_batch {sps:.0f} samples/s at 20k objects"
+    assert plan["u1"].shape == (B,)
+    assert np.isin(plan["is_pos"], [0, 1]).all()
+
+    t0 = time.perf_counter()
+    val = ValEvenPairs(store=store, validation_seed=0, max_combinations=10,
+                       **common)
+    val._val_arrays()
+    val_s = time.perf_counter() - t0
+    assert len(val) == 2 * 10 * 15_000           # 10 combos x TP objects
+    assert val_s < 60.0, f"ValEven build {val_s:.1f}s at 20k objects"

@@ -49,6 +49,60 @@ def test_extract_crops_identity_patch():
     assert (np.diff(c, axis=1) > 0).all()
 
 
+def test_crops_per_frame_matches_naive_path():
+    """The fused row-band gather (_crops_from_best) must be op-for-op the
+    naive per-box path: gather the full best-camera image, extract_crops on
+    it. Also pins the uint8 source path (gather-as-uint8, scale on crop)
+    against the f32-preconverted result."""
+    import jax
+
+    from point_cloud_reid_tpu.tracking.image_crops import project_boxes
+
+    rng = np.random.RandomState(3)
+    l2c1, _ = _simple_cam()
+    l2c2 = l2c1 @ np.diag([-1, -1, 1, 1]).astype(np.float32)
+    K_small = np.array([[50, 0, 80], [0, 50, 45], [0, 0, 1]], np.float32)
+    imgs_u8 = rng.randint(0, 256, size=(2, 3, 90, 160)).astype(np.uint8)
+    imgs_f32 = imgs_u8.astype(np.float32) / 255.0
+    boxes = jnp.asarray([[10.0, 0, 0, 2, 2, 2, 0.3],
+                         [-8.0, 1, 0, 1, 2, 1.5, 0.0],
+                         [12.0, -2, 0.5, 2, 1, 1, 1.0],
+                         [-10.0, 0, 0, 2, 2, 2, 0.0]])
+    l2cs = jnp.asarray(np.stack([l2c1, l2c2]))
+    Ks = jnp.asarray(np.stack([K_small, K_small]))
+
+    crops, valid = crops_per_frame(jnp.asarray(imgs_f32), l2cs, Ks, boxes,
+                                   image_size=(160, 90),
+                                   output_size=(16, 16))
+
+    # naive reference: full-image gather per box + extract_crops
+    def per_cam(l2c, K):
+        uv, vis = project_boxes(boxes, l2c, K, (160, 90))
+        b2 = boxes_2d(uv, (160, 90))
+        area = (b2[:, 2] - b2[:, 0]) * (b2[:, 3] - b2[:, 1])
+        return b2, jnp.where(vis, area, -1.0)
+
+    b2_all, area_all = jax.vmap(per_cam)(l2cs, Ks)
+    best_cam = np.asarray(jnp.argmax(area_all, axis=0))
+    for m in range(boxes.shape[0]):
+        img = jnp.asarray(imgs_f32[best_cam[m]])
+        ref = extract_crops(img, b2_all[best_cam[m], m][None],
+                            output_size=(16, 16))[0]
+        if bool(valid[m]):
+            np.testing.assert_allclose(np.asarray(crops[m]), np.asarray(ref),
+                                       rtol=0, atol=1e-5)
+        else:
+            assert float(jnp.abs(crops[m]).sum()) == 0.0
+
+    # uint8 source: gathered as uint8, scaled 1/255 on the band
+    crops_u8, valid_u8 = crops_per_frame(jnp.asarray(imgs_u8), l2cs, Ks,
+                                         boxes, image_size=(160, 90),
+                                         output_size=(16, 16))
+    assert np.array_equal(np.asarray(valid), np.asarray(valid_u8))
+    np.testing.assert_allclose(np.asarray(crops_u8), np.asarray(crops),
+                               rtol=0, atol=1e-5)
+
+
 def test_crops_per_frame_best_camera():
     l2c1, K = _simple_cam()
     # second camera looks down -x: sees boxes behind
