@@ -20,6 +20,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 
 import numpy as np
 import pytest
@@ -82,17 +83,25 @@ def test_two_process_cluster(tmp_path):
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    # don't inherit the parent's compilation cache lock contention
-    env["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "cache")
+    # persistent worker cache (separate dir from the parent's 8-device
+    # programs): the 2x4-device train-step compile is ~65 s/worker cold on
+    # this single-core image — cache hits make suite re-runs cheap
+    cache = "/root/.cache/jax_comp_multihost"
+    os.makedirs(cache, exist_ok=True)
+    env["JAX_COMPILATION_CACHE_DIR"] = cache
 
     procs = [subprocess.Popen(
         [sys.executable, str(worker), str(port), str(pid), out_path, REPO],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in range(2)]
+    # ONE shared wall-clock budget across both workers (not 540 s each —
+    # a hung rendezvous used to burn up to 2x540 s before skipping)
+    deadline = time.monotonic() + 480
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(
+                timeout=max(1.0, deadline - time.monotonic()))
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
