@@ -238,6 +238,13 @@ class PointTransformerBackbone(nn.Module):
     knn_method: str = "argsort"
     fused_train: bool = False
     fused_train_vjp: bool = True
+    # SA stages to rematerialize in backward (e.g. (0,) or (0, 1, 2)): the
+    # stage's grouped (B, S, K, C) chain is recomputed during its backward
+    # instead of being stored as autodiff residuals. Gradient- and
+    # batch-stats-exact vs the default (tests/test_models.py::
+    # test_backbone_stage_remat_matches); measured via
+    # tools/profile_train_table.py --remat (VERDICT r4 item 6).
+    remat_stages: Sequence[int] = ()
     pallas_inference: bool = False
     pallas_interpret: bool = False
     dtype: Any = jnp.float32
@@ -260,7 +267,11 @@ class PointTransformerBackbone(nn.Module):
         ]
         l_xyz, l_feats = [xyz], [features]
         for i, spec in enumerate(sa_specs):
-            li_xyz, li_feats = SetAbstractionEdgeSA(
+            # numpoints (3) and train (4) are static: Python ints/bools that
+            # select code paths inside the stage (arg 0 is the module itself).
+            cls = (nn.remat(SetAbstractionEdgeSA, static_argnums=(3, 4))
+                   if i in tuple(self.remat_stages) else SetAbstractionEdgeSA)
+            li_xyz, li_feats = cls(
                 mlp=spec["mlp"], nsample=spec["nsample"], radius=spec["radius"],
                 sampling="RANDOM", use_xyz=self.use_xyz, use_knn=True,
                 knn_method=self.knn_method,
@@ -269,7 +280,7 @@ class PointTransformerBackbone(nn.Module):
                 pallas_inference=self.pallas_inference,
                 pallas_interpret=self.pallas_interpret,
                 dtype=self.dtype, name=f"sa_{i}",
-            )(l_xyz[i], l_feats[i], numpoints[i], train=train)
+            )(l_xyz[i], l_feats[i], numpoints[i], train)
             l_xyz.append(li_xyz)
             l_feats.append(li_feats)
 

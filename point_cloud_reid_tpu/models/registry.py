@@ -97,6 +97,7 @@ def build_backbone(cfg: Spec, dtype=jnp.float32, knn_method: str = "argsort"):
             knn_method=knn_method,
             fused_train=cfg.get("fused_train", False),
             fused_train_vjp=cfg.get("fused_train_vjp", True),
+            remat_stages=tuple(cfg.get("remat_stages", ())),
             pallas_inference=cfg.get("pallas_inference", False),
             pallas_interpret=cfg.get("pallas_interpret", False),
             dtype=dtype, name="backbone")

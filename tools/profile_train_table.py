@@ -59,6 +59,11 @@ def main():
             cfg["model"]["backbone"]["fused_train"] = True
         if "--no-vjp" in sys.argv:
             cfg["model"]["backbone"]["fused_train_vjp"] = False
+        for a in sys.argv:
+            # --remat=0 / --remat=0,1,2: rematerialize those SA stages
+            if a.startswith("--remat="):
+                cfg["model"]["backbone"]["remat_stages"] = tuple(
+                    int(s) for s in a.split("=", 1)[1].split(",") if s)
         model = build_model(cfg["model"], dtype=jnp.bfloat16)
         batch = dict(
             sparse_1=jax.random.normal(rng, (B, N, 3)),
