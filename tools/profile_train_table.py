@@ -53,8 +53,15 @@ def main():
         )
         losses = dict(match=True)
     else:
-        cfg = get_experiment(
-            "pts_point-transformer_point-cat_nus_det_4x256_500e")
+        exp = "pts_point-transformer_point-cat_nus_det_4x256_500e"
+        for a in sys.argv:
+            # --exp=NAME: any point experiment (e.g. the 7M-param
+            # pts_point-transformer-7M_... scaling config, whose B=256 step
+            # OOMs WITHOUT remat — the capacity-bound regime where
+            # --remat is the right lever; see the note below)
+            if a.startswith("--exp="):
+                exp = a.split("=", 1)[1]
+        cfg = get_experiment(exp)
         if "--fused" in sys.argv:
             cfg["model"]["backbone"]["fused_train"] = True
         if "--no-vjp" in sys.argv:
@@ -82,8 +89,24 @@ def main():
           (state, batch, jax.random.PRNGKey(3)),
           sync=lambda out: out[1]["reid_loss"])
 
-    # Three byte-cut experiments were run from this seat and REJECTED (keep
-    # the conclusions, not the knobs):
+    # Byte-cut experiments run from this seat and REJECTED (keep the
+    # conclusions; --remat stays as the one reusable knob):
+    #  - --remat=i[,j..] (round 5, VERDICT r4 item 6: the last residual-byte
+    #    inventory): nn.remat whole SA stages so the grouped (B,S,K,C)
+    #    chain is recomputed in backward instead of stored. Measured v5e
+    #    B=256 bf16: baseline 115.1 ms / 5.93 TF / 92.7 GB; stage0 123.3 /
+    #    6.11 / 96.5; stage1 129.5 / 6.52 / 101.4; stage2 128.8 / 6.94 /
+    #    101.9. Every variant ADDS both
+    #    FLOPs and HBM bytes: the stage outputs stay materialized either
+    #    way (they are the next stage's input), and the backward recompute
+    #    re-reads the stage inputs and re-writes the grouped chain it was
+    #    supposed to avoid storing. At ~98% of HBM bandwidth the step only
+    #    improves by REMOVING bytes, so remat is structurally the wrong
+    #    lever at this batch (it trades bytes for capacity, which is not
+    #    the binding constraint until ~7M-param scale). Documented
+    #    negative; the knob is kept for the big-model configs where
+    #    capacity IS binding (B=256 at 7M currently OOMs — remat_stages is
+    #    the escape hatch that doesn't halve the batch).
     #  - whole-loss jax.checkpoint with save_anything_except_these_names on
     #    tagged (B,S,K,C) grouped tensors: one recompute region makes every
     #    recomputed tensor live at once -> 37 GB > 16 GB HBM, OOM at B=256.
