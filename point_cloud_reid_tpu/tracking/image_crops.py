@@ -117,8 +117,13 @@ def _crops_from_best(images: jnp.ndarray, best_cam: jnp.ndarray,
     cameras; the whole crop stage measured 14.9 ms / 6.9 GB on v5e). This
     gathers ONLY the <= 2*oh sample rows each box needs, with the camera
     choice folded into the row gather's leading index, and blends columns
-    on the small row band. uint8 sources are gathered AS uint8 (quarter the
-    gather bytes) and converted on the band; callers apply any value scale.
+    on the small row band. uint8 sources stay uint8 through BOTH gathers —
+    rows AND columns — and convert only on the (M, 2oh, ch, ow) column
+    picks: converting the full (M, 2oh, ch, W) band first materializes
+    ~550 MB of f32 at 64 boxes, and the column-pick order measured 1.65x
+    faster on v5e (9.64 -> 5.83 ms, tools/profile_image_frame_pieces.py
+    --u8cols) with bit-identical output (uint8 values are exact in f32;
+    the blend math is unchanged). Callers apply any value scale.
     Bilinear math is op-for-op extract_crops (pc_utils.py:149-165
     grid_sample semantics) — parity pinned by
     tests/test_image_crops.py::test_crops_per_frame_matches_naive_path.
@@ -141,10 +146,11 @@ def _crops_from_best(images: jnp.ndarray, best_cam: jnp.ndarray,
     # ONE fused row gather: advanced indices (M,1) x (M,2oh) broadcast and
     # land in front -> (M, 2oh, ch, W); full-W rows keep the gather slices
     # big and contiguous (the regime where XLA's TPU gather runs fine)
-    band = images[best_cam[:, None], :, yy, :].astype(jnp.float32)
+    band = images[best_cam[:, None], :, yy, :]        # source dtype kept
 
     def cols(xi):
-        return jnp.take_along_axis(band, xi[:, None, None, :], axis=3)
+        return jnp.take_along_axis(
+            band, xi[:, None, None, :], axis=3).astype(jnp.float32)
 
     horiz = cols(x0i) * (1.0 - wx) + cols(x1i) * wx      # (M, 2oh, ch, ow)
     top, bot = horiz[:, :oh], horiz[:, oh:]
