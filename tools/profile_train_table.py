@@ -102,11 +102,17 @@ def main():
     #    re-reads the stage inputs and re-writes the grouped chain it was
     #    supposed to avoid storing. At ~98% of HBM bandwidth the step only
     #    improves by REMOVING bytes, so remat is structurally the wrong
-    #    lever at this batch (it trades bytes for capacity, which is not
-    #    the binding constraint until ~7M-param scale). Documented
-    #    negative; the knob is kept for the big-model configs where
-    #    capacity IS binding (B=256 at 7M currently OOMs — remat_stages is
-    #    the escape hatch that doesn't halve the batch).
+    #    lever wherever the step fits (it trades bytes for capacity).
+    #    Also re-measured at 7M-param scale (--exp=...-7M..., B=256):
+    #    baseline 283.3 ms / 25.17 TF / 88.9 TFLOP/s (~92% of the 128-wide
+    #    empirical MXU roof — the C=256 model is compute-bound) vs
+    #    remat=0,1,2 342.4 / 29.38 — negative there too. The round-3
+    #    "7M B=256 exceeds HBM" wall is GONE (the r4 one-hot gather +
+    #    A/Ct-factored conv rework shrank live residuals): the full
+    #    tools/train.py runs 7M at B=256 end-to-end (verified r5,
+    #    synthetic 2-epoch run, exit 0). remat_stages stays as the
+    #    capacity escape hatch for shapes that genuinely don't fit
+    #    (none currently in the released config matrix).
     #  - whole-loss jax.checkpoint with save_anything_except_these_names on
     #    tagged (B,S,K,C) grouped tensors: one recompute region makes every
     #    recomputed tensor live at once -> 37 GB > 16 GB HBM, OOM at B=256.
