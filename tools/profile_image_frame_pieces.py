@@ -92,14 +92,15 @@ def main():
     crops_s, crops = bench(f"image_crops 6cam->d{N}", crops_fn,
                            (images, l2cs_d, Ks_d, boxes))
 
-    if "--u8cols" in sys.argv:
-        # EXPERIMENT: keep the row band uint8 through the column gathers and
-        # convert only the (M, 2oh, ch, ow) column picks — the production
-        # order converts the full (M, 2oh, ch, W) band to f32 first
-        # (~550 MB materialized at 64 boxes), so this trades one big
-        # convert for two small ones. Bilinear math identical (uint8
-        # values are exact in f32).
-        def crops_u8cols(images, l2cs, Ks, boxes):
+    if "--u8cols" in sys.argv or "--f32band" in sys.argv:
+        # A/B the superseded band->f32-FIRST order against production.
+        # History: production originally converted the full (M, 2oh, ch, W)
+        # row band to f32 before the column gathers (~550 MB materialized
+        # at 64 boxes); keeping uint8 through BOTH gathers measured 1.65x
+        # faster bit-identically (9.64 -> 5.83 ms, v5e 2026-08-20) and was
+        # promoted to production (image_crops._crops_from_best). This
+        # variant re-creates the OLD order so the win stays re-measurable.
+        def crops_f32band(images, l2cs, Ks, boxes):
             from point_cloud_reid_tpu.tracking.image_crops import (
                 boxes_2d, project_boxes)
 
@@ -128,11 +129,12 @@ def main():
             wx = (xf - x0i)[:, None, None, :]
             wy = (yf - y0i)
             yy = jnp.concatenate([y0i, y1i], axis=1)
-            band = images[best_cam[:, None], :, yy, :]   # uint8 stays uint8
+            # the superseded order: full band to f32 BEFORE column gathers
+            band = images[best_cam[:, None], :, yy, :].astype(jnp.float32)
 
             def cols(xi):
-                return jnp.take_along_axis(
-                    band, xi[:, None, None, :], axis=3).astype(jnp.float32)
+                return jnp.take_along_axis(band, xi[:, None, None, :],
+                                           axis=3)
 
             horiz = cols(x0i) * (1.0 - wx) + cols(x1i) * wx
             top, bot = horiz[:, :oh], horiz[:, oh:]
@@ -141,10 +143,11 @@ def main():
             out = out * (1.0 / 255.0)
             return jnp.where(valid[:, None, None, None], out, 0.0)
 
-        u8_s, u8_crops = bench(f"image_crops_u8cols 6cam->d{N}",
-                               crops_u8cols, (images, l2cs_d, Ks_d, boxes))
-        diff = float(jnp.max(jnp.abs(u8_crops - crops)))
-        print(json.dumps(dict(name="u8cols_vs_prod", ms=round(u8_s * 1e3, 2),
+        ab_s, ab_crops = bench(f"image_crops_f32band 6cam->d{N}",
+                               crops_f32band, (images, l2cs_d, Ks_d, boxes))
+        diff = float(jnp.max(jnp.abs(ab_crops - crops)))
+        print(json.dumps(dict(name="f32band_vs_prod",
+                              ms=round(ab_s * 1e3, 2),
                               prod_ms=round(crops_s * 1e3, 2),
                               max_abs_diff=diff)), flush=True)
 
