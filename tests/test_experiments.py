@@ -77,6 +77,16 @@ def test_apply_overrides_round_trip():
     assert cfg2["model"]["backbone"]["fused_train"] is True
     assert build_model(cfg2["model"]).backbone["fused_train"] is True
 
+    # the remat_stages capacity knob plumbs CLI -> registry -> module
+    # (tools/profile_train_table.py --remat / --set
+    # model.backbone.remat_stages=0,1,2)
+    from point_cloud_reid_tpu.models.registry import build_backbone
+    cfg3 = E.get_experiment(name, set_options=[
+        "model.backbone.remat_stages=0,2"])
+    assert cfg3["model"]["backbone"]["remat_stages"] == [0, 2]
+    bb = build_backbone(cfg3["model"]["backbone"])
+    assert tuple(bb.remat_stages) == (0, 2)
+
     # unknown keys on non-component dicts / missing paths still fail loudly
     with pytest.raises(KeyError):
         E.get_experiment(name, set_options=["dataset.not_a_key=1"])
