@@ -306,13 +306,16 @@ def _host_pieces_ms(n_tracks: int, n_dets: int, det_boxes, sweep=None,
     bucket-padding (point mode only) + class/BEV gating + greedy
     association. The e2e residual beyond device+host is tunnel
     transfers/RTTs, which vanish on locally-attached hardware."""
+    from point_cloud_reid_tpu.inference.pair_scoring import _round_up
     from point_cloud_reid_tpu.tracking.association import (
         associate, center_distance_gate)
     rs = np.random.RandomState(1)
     total = 0.0
     if sweep is not None:
         sweep = np.asarray(sweep, np.float32)
-        n_pad = 262144 if len(sweep) <= 262144 else 524288
+        # same bucket ladder as TrackingManager.step's sweep padding
+        n_pad = _round_up(max(len(sweep), 1),
+                          sizes=(2048, 8192, 32768, 131072, 262144, 524288))
         t0 = time.perf_counter()
         for _ in range(reps):
             padded = np.full((n_pad, 3), 1e6, np.float32)
@@ -384,6 +387,26 @@ def _bench_tracker_e2e(model, variables, n_obj: int = 96,
     return e2e_ms, breakdown
 
 
+def camera_ring():
+    """6-camera ring (nuScenes geometry: 1600x900, ~60 deg spacing) —
+    (lidar2cams (6, 4, 4), intrinsics (6, 3, 3)). Single source for the
+    image-tracker e2e bench and its piece-wise dissection
+    (tools/profile_image_frame_pieces.py) so both measure one workload."""
+    l2cs, Ks = [], []
+    for k in range(6):
+        a = k * np.pi / 3
+        fwd = np.array([np.cos(a), np.sin(a), 0.0])
+        right = np.array([np.sin(a), -np.cos(a), 0.0])
+        down = np.array([0.0, 0.0, -1.0])
+        R = np.stack([right, down, fwd])
+        l2c = np.eye(4, dtype=np.float32)
+        l2c[:3, :3] = R
+        l2cs.append(l2c)
+        Ks.append(np.array([[800, 0, 800], [0, 800, 450], [0, 0, 1]],
+                           np.float32))
+    return np.stack(l2cs), np.stack(Ks)
+
+
 def _bench_image_tracker_e2e(n_obj: int = 64):
     """End-to-end IMAGE-branch TrackingManager.step on the fused deployment
     path (VERDICT r4 item 1): per frame, ONE device program projects the 3D
@@ -411,21 +434,7 @@ def _bench_image_tracker_e2e(n_obj: int = 64):
     captured = {}
     _install_frame_capture(mgr, captured)
 
-    # 6-camera ring (nuScenes geometry: 1600x900, ~60 deg spacing)
-    l2cs, Ks = [], []
-    for k in range(6):
-        a = k * np.pi / 3
-        fwd = np.array([np.cos(a), np.sin(a), 0.0])
-        right = np.array([np.sin(a), -np.cos(a), 0.0])
-        down = np.array([0.0, 0.0, -1.0])
-        R = np.stack([right, down, fwd])
-        l2c = np.eye(4, dtype=np.float32)
-        l2c[:3, :3] = R
-        l2cs.append(l2c)
-        Ks.append(np.array([[800, 0, 800], [0, 800, 450], [0, 0, 1]],
-                           np.float32))
-    l2cs = np.stack(l2cs)
-    Ks = np.stack(Ks)
+    l2cs, Ks = camera_ring()
 
     rs = np.random.RandomState(0)
     images = rs.randint(0, 256, (6, 3, 900, 1600), dtype=np.uint8)

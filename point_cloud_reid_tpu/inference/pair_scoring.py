@@ -89,8 +89,15 @@ class DeviceTrackCache:
     a scratch row: padded gathers read it, masked-out scatters write it.
     """
 
+    # grow() sanity bound: a real denser-than-expected scene needs a
+    # doubling or two; needing 16x the constructed capacity means the
+    # caller is leaking slots (birthing tracks it never drop()s), and the
+    # old loud error beats silently doubling device buffers into an OOM.
+    _MAX_GROWTH = 16
+
     def __init__(self, capacity: int = 512):
         self.capacity = capacity
+        self._initial_capacity = capacity
         self._slots: Dict[int, int] = {}
         self._free = list(range(capacity))
         self.h_buf = None                   # (cap+1, N, C) device
@@ -117,8 +124,17 @@ class DeviceTrackCache:
         extra compile per bucket) — the manager's fn caches stay valid
         because capacity is a runtime buffer shape there, not a baked
         constant. Denser-than-expected scenes degrade to a recompile
-        instead of a RuntimeError mid-scene."""
+        instead of a RuntimeError mid-scene. Bounded at _MAX_GROWTH x the
+        constructed capacity to keep slot leaks diagnosable."""
         old = self.capacity
+        if old * 2 > self._initial_capacity * self._MAX_GROWTH:
+            raise RuntimeError(
+                f"DeviceTrackCache grew past {self._MAX_GROWTH}x its "
+                f"constructed capacity ({self._initial_capacity} -> "
+                f"{old * 2}): {len(self._slots)} slots are live. This is "
+                "almost certainly a slot leak — drop() dead tracks — not a "
+                "dense scene; construct with a larger cache_capacity if it "
+                "truly is one.")
         self.capacity = old * 2
         self._free.extend(range(old, self.capacity))
 

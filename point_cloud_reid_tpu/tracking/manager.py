@@ -239,10 +239,7 @@ class TrackingManager:
         images = np.asarray(images)
         l2cams = np.asarray(l2cams, np.float32)
         intrins = np.asarray(intrins, np.float32)
-        if self._image_sizes is None:
-            out = int(getattr(self.scorer.model, "image_size", 224))
-            self._image_sizes = (
-                (images.shape[3], images.shape[2]), (out, out))
+        self._ensure_image_sizes(images)
         dc = self._dc
         d_pad = boxes_p.shape[0]
         if dc.h_buf is None:
@@ -357,6 +354,15 @@ class TrackingManager:
         self._rng, k = jax.random.split(self._rng)
         return k
 
+    def _ensure_image_sizes(self, images: np.ndarray):
+        """Cache ((W, H), (out, out)) from the first (ncam, 3, H, W) frame —
+        single source for the fused and legacy image-crop paths."""
+        if self._image_sizes is None:
+            out = int(getattr(self.scorer.model, "image_size", 224))
+            self._image_sizes = (
+                (images.shape[3], images.shape[2]), (out, out))
+        return self._image_sizes
+
     def _embed_dets(self, pts, boxes_p: np.ndarray, D: int):
         """Non-fused detection embedding (crops then embed)."""
         if self.crop_fn is not None:
@@ -366,11 +372,7 @@ class TrackingManager:
             # features (the legacy FeatureCache fallback)
             from ..inference.pair_scoring import PairScorer
             images, l2cams, intrins = pts
-            if self._image_sizes is None:
-                out = int(getattr(self.scorer.model, "image_size", 224))
-                self._image_sizes = ((np.asarray(images).shape[3],
-                                      np.asarray(images).shape[2]),
-                                     (out, out))
+            self._ensure_image_sizes(np.asarray(images))
             crops = PairScorer._device_crops(
                 jnp.asarray(images), jnp.asarray(np.asarray(l2cams,
                                                             np.float32)),

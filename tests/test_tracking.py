@@ -843,6 +843,22 @@ def test_device_cache_grow_preserves_slots():
     assert len(dc) == 2 and s0 in dc._free
 
 
+@pytest.mark.quick
+def test_device_cache_growth_bounded():
+    """grow() refuses past _MAX_GROWTH x the constructed capacity with the
+    actionable slot-leak message — a leaking caller gets the loud error
+    back instead of doubling device buffers into an allocator OOM."""
+    from point_cloud_reid_tpu.inference.pair_scoring import DeviceTrackCache
+
+    dc = DeviceTrackCache(capacity=2)
+    dc.ensure(4, 8, jnp.float32)
+    for tid in range(2 * DeviceTrackCache._MAX_GROWTH):  # leak: never drop()
+        dc.assign(tid)
+    assert dc.capacity == 2 * DeviceTrackCache._MAX_GROWTH
+    with pytest.raises(RuntimeError, match="slot leak"):
+        dc.assign(999)
+
+
 def test_device_cache_growth_churn_soak():
     """Multi-scene churn at a deliberately tiny cache: hundreds of frames of
     track birth/death grow the cache instead of dying mid-scene

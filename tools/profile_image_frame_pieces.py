@@ -32,25 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from _bench import bench, setup_cache
+from bench import camera_ring  # the e2e bench's ring: one shared workload
 
 setup_cache()
-
-
-def camera_ring():
-    """6-camera nuScenes-geometry ring (bench._bench_image_tracker_e2e)."""
-    l2cs, Ks = [], []
-    for k in range(6):
-        a = k * np.pi / 3
-        fwd = np.array([np.cos(a), np.sin(a), 0.0])
-        right = np.array([np.sin(a), -np.cos(a), 0.0])
-        down = np.array([0.0, 0.0, -1.0])
-        R = np.stack([right, down, fwd])
-        l2c = np.eye(4, dtype=np.float32)
-        l2c[:3, :3] = R
-        l2cs.append(l2c)
-        Ks.append(np.array([[800, 0, 800], [0, 800, 450], [0, 0, 1]],
-                           np.float32))
-    return np.stack(l2cs), np.stack(Ks)
 
 
 def main():
