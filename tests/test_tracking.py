@@ -984,3 +984,54 @@ def test_sparse_min_grid_boundary():
     assert mgr_always._sparse_on(1, 8)
     mgr_never = TrackingManager(_MockScorer(), sparse_scoring="never")
     assert not mgr_never._sparse_on(512, 512)
+
+
+def test_track_cli(tmp_path):
+    """tools/track.py drives the tracking layer end-to-end from the command
+    line: scene .npz in -> per-frame tracks.jsonl + the tracking-eval
+    summary (tools/tracking_plots.py input) out, with stable ids across
+    frames (the reference's tracker-through-test-pipeline surface,
+    trackers/deprecated/tracking_manager.py + core/hooks/utils.py)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    rs = np.random.RandomState(0)
+    scene = {}
+    for t in range(3):
+        c = np.array([[0.3 * t, 0, 0], [8.0, 0.2 * t, 0]], np.float32)
+        scene[f"boxes_{t}"] = np.concatenate(
+            [c, np.full((2, 3), 2, np.float32), np.zeros((2, 1), np.float32)],
+            axis=1)
+        scene[f"scores_{t}"] = np.ones(2, np.float32)
+        scene[f"labels_{t}"] = np.zeros(2, np.int64)
+        scene[f"gt_ids_{t}"] = np.arange(2)
+        scene[f"points_{t}"] = (np.repeat(c, 50, 0)
+                                + rs.randn(100, 3).astype(np.float32) * 0.2)
+    np.savez(tmp_path / "scene0.npz", **scene)
+
+    work = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "tools", "track.py"),
+         "pts_pointnet_point-cat_nus_det_4x256_500e",
+         "--scene-dir", str(tmp_path), "--subsample", "16",
+         "--work-dir", str(work)],
+        capture_output=True, text=True, timeout=540,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS=""))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    headline = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert headline["frames"] == 3 and not headline["image_mode"]
+
+    frames = [json.loads(l) for l in open(work / "tracks.jsonl")]
+    assert len(frames) == 3
+    ids = [sorted(tr["id"] for tr in f["tracks"]) for f in frames]
+    assert all(len(i) == 2 for i in ids)
+    assert ids[0] == ids[1] == ids[2]            # two stable tracks
+
+    summary = json.load(open(work / "tracking_summary.json"))
+    assert summary["frames"] == 3 and summary["scenes"] == 1
+    assert summary["association"]["correct"] == 4     # 2 objs x frames 2,3
+    assert summary["association"]["id_switches"] == 0
