@@ -309,13 +309,13 @@ def _host_pieces_ms(n_tracks: int, n_dets: int, det_boxes, sweep=None,
     from point_cloud_reid_tpu.inference.pair_scoring import _round_up
     from point_cloud_reid_tpu.tracking.association import (
         associate, center_distance_gate)
+    from point_cloud_reid_tpu.tracking.manager import SWEEP_SIZES
     rs = np.random.RandomState(1)
     total = 0.0
     if sweep is not None:
         sweep = np.asarray(sweep, np.float32)
         # same bucket ladder as TrackingManager.step's sweep padding
-        n_pad = _round_up(max(len(sweep), 1),
-                          sizes=(2048, 8192, 32768, 131072, 262144, 524288))
+        n_pad = _round_up(max(len(sweep), 1), sizes=SWEEP_SIZES)
         t0 = time.perf_counter()
         for _ in range(reps):
             padded = np.full((n_pad, 3), 1e6, np.float32)

@@ -12,7 +12,8 @@ standalone and the fused frame to 21.0 ms (embed 11.3 is now the largest
 piece and is already the pallas SA-stage kernel).
 
 Each piece is jitted separately at the Waymo-dense steady-state bucket
-(t_pad=512 tracks, d_pad=256 dets, 262144-pt padded sweep, p_pad=1024
+(t_pad=512 tracks, d_pad=256 dets, 196608-pt padded sweep — the production
+SWEEP_SIZES rung for a 153.6k Waymo-dense sweep, p_pad=1024
 gated pairs) and timed with the scalar-fetch sync (tools/_bench.bench —
 block_until_ready is a no-op through the axon tunnel). The sum of pieces
 slightly exceeds the fused frame (XLA fuses across stage boundaries).
@@ -46,7 +47,10 @@ def main():
     T_PAD = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     D_PAD = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     P_PAD = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
-    NPTS, SWEEP, CAP = 128, 262144, 512
+    # 196608 = the Waymo-dense 153.6k sweep's production pad bucket
+    # (manager.SWEEP_SIZES); pass a 4th arg to probe another rung
+    NPTS, CAP = 128, 512
+    SWEEP = int(sys.argv[4]) if len(sys.argv) > 4 else 196608
 
     cfg = get_experiment("pts_point-transformer_point-cat_nus_det_4x256_500e")
     model = build_model(cfg["model"], dtype=jnp.bfloat16)

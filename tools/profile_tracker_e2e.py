@@ -126,7 +126,9 @@ def main():
 
     # --- host pieces, timed in isolation (pure numpy, synchronous)
     sweep = np.asarray(pts, np.float32)
-    n_pad = 262144 if len(sweep) <= 262144 else 524288
+    from point_cloud_reid_tpu.inference.pair_scoring import _round_up
+    from point_cloud_reid_tpu.tracking.manager import SWEEP_SIZES
+    n_pad = _round_up(len(sweep), sizes=SWEEP_SIZES)
     t0 = time.perf_counter()
     reps = 50
     for _ in range(reps):
