@@ -1035,3 +1035,18 @@ def test_track_cli(tmp_path):
     assert summary["frames"] == 3 and summary["scenes"] == 1
     assert summary["association"]["correct"] == 4     # 2 objs x frames 2,3
     assert summary["association"]["id_switches"] == 0
+
+
+@pytest.mark.quick
+def test_sweep_pad_ladder_rungs():
+    """The headline tracker workloads must land on tight sweep buckets:
+    96 obj x 600 pts -> 65,536 (was 131,072) and Waymo-dense 256 x 600 ->
+    196,608 (was 262,144) — the crop stage is linear in the padded rows, so
+    a ladder regression silently costs device time at the bench shapes."""
+    from point_cloud_reid_tpu.inference.pair_scoring import _round_up
+    from point_cloud_reid_tpu.tracking.manager import SWEEP_SIZES
+
+    assert _round_up(96 * 600, sizes=SWEEP_SIZES) == 65536
+    assert _round_up(256 * 600, sizes=SWEEP_SIZES) == 196608
+    assert _round_up(2048, sizes=SWEEP_SIZES) == 2048
+    assert _round_up(524289, sizes=SWEEP_SIZES) == 2 ** 20  # pow2 overflow
